@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no-stats leaves default to Long.MaxValue and make Catalyst's
+      // multiplicative join-size estimates explode on iterative plans
+      .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

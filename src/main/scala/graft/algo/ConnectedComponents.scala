@@ -1,0 +1,85 @@
+package graft.algo
+
+import graft.util.Ckpt.DFCkpt
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.EdgeOps
+import graft.run.{IterMetric, MetricsSink}
+
+/** Connected components over an undirected edge table.
+  *
+  * Semantics match the reference's refinement BFS (component membership,
+  * /root/reference/src/core/algorithm/hit_leiden.rs:324-344) but the
+  * algorithm is distributed: hash-min label propagation with a
+  * pointer-jumping (label-of-label) step each round, so convergence is
+  * O(log n) supersteps instead of O(diameter) — the difference between
+  * 20 and 20,000 shuffles on a 100 TB web-graph-shaped input.
+  *
+  * Output: (v LONG, component LONG) where component = min vertex id in
+  * the component (deterministic, stable across reruns and parallelism).
+  *
+  * Each round is: one gather join + agg (neighbor min), one self-join
+  * (pointer jump), one change-count agg. `labels` is localCheckpoint'ed
+  * per round to keep lineage flat.
+  */
+object ConnectedComponents {
+
+  final case class Result(components: DataFrame, iterations: Int)
+
+  /** @param edges canonical or raw undirected edge table (src, dst[, weight])
+    * @param vertices optional vertex universe; isolated vertices become
+    *   their own singleton components.
+    */
+  def run(
+      edges: DataFrame,
+      vertices: Option[DataFrame] = None,
+      maxIter: Int = 50,
+      sink: MetricsSink = MetricsSink.discard): Result = {
+
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val adj = canon.select(col("src"), col("dst"))
+      .unionAll(canon.select(col("dst").as("src"), col("src").as("dst")))
+      .ckpt
+    val verts = vertices.map(_.select(col("v")).distinct())
+      .getOrElse(EdgeOps.vertices(canon))
+      .ckpt
+
+    var labels = verts.withColumn("component", col("v")).ckpt
+    var it = 0
+    var done = verts.isEmpty
+    while (!done && it < maxIter) {
+      val t0 = System.nanoTime()
+      // gather: min label over neighborhood
+      val nbrMin = adj.join(labels, adj("dst") === labels("v"))
+        .groupBy(adj("src").as("v"))
+        .agg(min(col("component")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+      // pointer jump: component <- component(component); component ids are
+      // always vertex ids of the same component, so the lookup total-joins
+      val jumped = stepped.alias("a")
+        .join(stepped.select(col("v").as("cv"), col("component").as("cc")),
+          col("a.component") === col("cv"), "left")
+        .select(col("a.v").as("v"),
+          coalesce(col("cc"), col("a.component")).as("component"))
+        .ckpt
+
+      val changed = jumped.alias("n")
+        .join(labels.select(col("v"), col("component").as("old")), "v")
+        .where(col("component") =!= col("old")).count()
+      sink.add(IterMetric("cc", 0, it, messages = -1, movesAccepted = changed,
+        frontier = -1, qualityDelta = 0.0,
+        seconds = (System.nanoTime() - t0) / 1e9))
+      labels = jumped
+      it += 1
+      done = changed == 0
+    }
+    Result(labels, it)
+  }
+}

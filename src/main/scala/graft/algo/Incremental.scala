@@ -1,0 +1,127 @@
+package graft.algo
+
+import graft.util.Ckpt.DFCkpt
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.EdgeOps
+import graft.run.MetricsSink
+
+/** The "HIT" in HIT-Leiden: incremental maintenance of a Leiden partition
+  * under a batch of edge insertions/deletions, touching only affected
+  * vertices.
+  *
+  * Delta convention matches the reference (signed weight: alpha > 0
+  * insert, alpha < 0 delete — /root/reference/src/core/algorithm/
+  * hit_leiden.rs:167-180). Delta activation seeds the movement frontier
+  * exactly as inc_movement's first loop (hit_leiden.rs:166-186):
+  *   - inserted cross-community edge endpoints and deleted intra-community
+  *     edge endpoints become *active* (A);
+  *   - endpoints sharing a subcommunity become *refinement-affected* (K).
+  *
+  * Scope note: the reference's public run() always executes a single
+  * hierarchy level (PartitionState::identity sets levels = 1,
+  * /root/reference/src/core/partition/state.rs:19-33), so its
+  * inc_aggregation/def_update machinery is never exercised end-to-end.
+  * We implement the level-0 incremental contract faithfully and rebuild
+  * upper levels from the (small) aggregated supergraph via the cold path
+  * when hierarchy is requested — the supergraph is orders of magnitude
+  * smaller than the base graph, so this preserves the incremental win
+  * where it matters (the base-level movement/refinement over a frontier).
+  */
+object Incremental {
+
+  /** Persistent engine state between batches. `canon` is the live
+    * canonical edge table; `assign` = (v, community, subcomm). */
+  final case class State(canon: DataFrame, assign: DataFrame, m2: Double)
+
+  def initial(edges: DataFrame, cfg: Leiden.Config = Leiden.Config(),
+      sink: MetricsSink = MetricsSink.discard): State = {
+    val canon = EdgeOps.compress(edges, cfg.eps).ckpt
+    val m2 = 2.0 * EdgeOps.totalWeight(canon)
+    val verts = EdgeOps.vertices(canon)
+    val init = verts.select(col("v"), col("v").as("community"),
+      col("v").as("subcomm")).ckpt
+    if (m2 == 0.0) return State(canon, init, 0.0)
+    val adj = EdgeOps.symmetrize(canon).ckpt
+    val deg = EdgeOps.degrees(adj).ckpt
+    val mv = Leiden.movement(adj, deg, m2, init, verts, cfg, sink, 0)
+    val ref = Leiden.refinement(adj, deg, m2, mv.assign, verts, cfg, sink, 0,
+      isInitial = true)
+    State(canon, ref.assign.ckpt, m2)
+  }
+
+  /** Apply one signed delta batch, warm-starting from `state`. */
+  def update(state: State, delta: DataFrame,
+      cfg: Leiden.Config = Leiden.Config(),
+      sink: MetricsSink = MetricsSink.discard): State = {
+
+    // merge the delta into the live graph (compress = group-sum + epsilon
+    // drop, the reference's Compress at hit_leiden.rs:533-546)
+    val deltaC = delta.select(col("src"), col("dst"),
+      coalesce(col("weight"), lit(1.0)).as("weight"))
+    val newCanon = EdgeOps
+      .compress(state.canon.unionAll(deltaC), cfg.eps)
+      .ckpt
+    val m2 = 2.0 * EdgeOps.totalWeight(newCanon)
+    val verts = EdgeOps.vertices(newCanon).ckpt
+
+    // carry assignments; vertices new in this batch start as singletons
+    val assign0 = verts.join(state.assign, Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("community"), col("v")).as("community"),
+        coalesce(col("subcomm"), col("v")).as("subcomm"))
+      .ckpt
+
+    // delta activation (hit_leiden.rs:166-186)
+    val d = deltaC
+      .join(assign0.select(col("v").as("src"), col("community").as("cu"),
+        col("subcomm").as("scu")), "src")
+      .join(assign0.select(col("v").as("dst"), col("community").as("cv"),
+        col("subcomm").as("scv")), "dst")
+    val activated = d.where(
+      (col("weight") > 0 && col("cu") =!= col("cv")) ||
+        (col("weight") < 0 && col("cu") === col("cv")))
+      .select(explode(array(col("src"), col("dst"))).as("v")).distinct()
+      .ckpt
+    val k0 = d.where(col("scu") === col("scv"))
+      .select(explode(array(col("src"), col("dst"))).as("v")).distinct()
+
+    if (m2 == 0.0) return State(newCanon, assign0, 0.0)
+
+    val adj = EdgeOps.partitionBySrc(EdgeOps.symmetrize(newCanon),
+      Leiden.parts(newCanon, cfg)).ckpt
+    val deg = EdgeOps.degrees(adj).ckpt
+
+    val mv = Leiden.movement(adj, deg, m2, assign0, activated, cfg, sink, 0)
+    val affected = k0.unionAll(mv.affected).distinct().ckpt
+    val ref = Leiden.refinement(adj, deg, m2, mv.assign, affected, cfg, sink,
+      0, isInitial = false)
+    State(newCanon, ref.assign.ckpt, m2)
+  }
+
+  /** Deterministic cumulative delta batches replicating the reference's
+    * benchmark splitter `paper_split(initial_ratio, batch_size, rounds,
+    * seed)` (/root/reference/src/benchmark/dynamic_graph.rs:62-115):
+    * shuffle edges by a seeded hash, first `initialRatio` = the initial
+    * graph, then `rounds` batches of `batchSize` as insertions. Fully
+    * distributed (orderBy a hash, no driver collect).
+    */
+  def paperSplit(edges: DataFrame, initialRatio: Double, batchSize: Int,
+      rounds: Int, seed: Long = 42L): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = edges
+      .withColumn("_h", xxhash64(col("src"), col("dst"), lit(seed)))
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_h"),
+        col("src"), col("dst"))))
+    val total = edges.count()
+    val nInit = (total * initialRatio).toLong
+    val init = ranked.where(col("_rn") <= nInit)
+      .drop("_h", "_rn").ckpt
+    val batches = (0 until rounds).map { r =>
+      ranked.where(col("_rn") > nInit + r.toLong * batchSize &&
+        col("_rn") <= nInit + (r + 1).toLong * batchSize)
+        .drop("_h", "_rn").ckpt
+    }
+    (init, batches)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.algo
+
+import graft.util.Ckpt.DFCkpt
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting over an undirected simple graph.
+  *
+  * Not in the reference repo; added per the north rule ("triangle counts
+  * exactly"). Algorithm: degree-based edge orientation + wedge join —
+  * the standard shuffle-efficient formulation. Orienting every edge from
+  * its lower-(degree, id) endpoint to its higher one bounds each vertex's
+  * out-degree by O(sqrt(E)), which is what keeps the wedge join from
+  * exploding on hub vertices at web scale (a pure id orientation would put
+  * every hub wedge in one task; degree orientation is the skew handling).
+  *
+  * Each triangle {a,b,c} appears exactly once as an oriented wedge
+  * a->b, b->c closed by a->c.
+  */
+object TriangleCount {
+
+  /** Total triangle count in the graph. */
+  def total(edges: DataFrame): Long = {
+    val r = perVertexInternal(edges).agg(sum("triangles")).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0) / 3
+  }
+
+  /** (v, triangles): number of triangles each vertex participates in.
+    * Vertices in no triangle (including isolated ones in `edges`) get 0.
+    */
+  def perVertex(edges: DataFrame): DataFrame = {
+    val verts = graft.graph.EdgeOps.vertices(edges)
+    verts.join(perVertexInternal(edges), Seq("v"), "left")
+      .select(col("v"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  private def perVertexInternal(edges: DataFrame): DataFrame = {
+    val simple = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+    // unweighted degree on the symmetrized view
+    val deg = simple.select(col("src").as("v"))
+      .unionAll(simple.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+    // orient u -> v iff (deg(u), u) < (deg(v), v)
+    val withDeg = simple
+      .join(deg.select(col("v").as("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("ddst")), "dst")
+    val oriented = withDeg.select(
+      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")),
+        struct(col("src").as("u"), col("dst").as("w")))
+        .otherwise(struct(col("dst").as("u"), col("src").as("w")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .ckpt
+
+    val e1 = oriented.select(col("u").as("a"), col("w").as("b"))
+    val e2 = oriented.select(col("u").as("b"), col("w").as("c"))
+    val e3 = oriented.select(col("u").as("a2"), col("w").as("c2"))
+    val tris = e1.join(e2, "b")
+      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+  }
+}

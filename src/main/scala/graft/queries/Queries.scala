@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.EdgeOps
+import graft.algo._
+
+/** Driver-harness queries: each is a DataFrame job over the read-only
+  * `/root/testdata/sf*` tables, paired (where SQL-expressible) with a
+  * DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * The link graph under test is derived from `lineitem` by portable
+  * integer arithmetic (same expression evaluates identically in Spark and
+  * DuckDB): src = l_orderkey % 1500, dst = (l_partkey*7 + l_suppkey) %
+  * 1500, self-loops dropped, parallel edges merged with weight =
+  * multiplicity. ~1.5k vertices, tens of thousands of edges at sf0.01.
+  */
+object Queries {
+
+  /** The derived undirected multigraph (src, dst, weight=1.0 per row). */
+  def lineitemGraph(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_orderkey") % 1500).as("src"),
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 1500).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("weight", lit(1.0))
+
+  /** SQL prelude producing the identical graph in DuckDB. */
+  val graphSqlPrelude: String =
+    """raw AS (
+      |  SELECT l_orderkey % 1500 AS a, (l_partkey*7 + l_suppkey) % 1500 AS b
+      |  FROM lineitem WHERE l_orderkey % 1500 <> (l_partkey*7 + l_suppkey) % 1500
+      |),
+      |canon AS (
+      |  SELECT least(a,b) AS src, greatest(a,b) AS dst,
+      |         CAST(count(*) AS DOUBLE) AS weight
+      |  FROM raw GROUP BY 1,2
+      |),
+      |adj AS (
+      |  SELECT src, dst, weight FROM canon
+      |  UNION ALL SELECT dst, src, weight FROM canon
+      |),
+      |verts AS (SELECT DISTINCT src AS v FROM adj)""".stripMargin
+
+  // --- graph operator queries -------------------------------------------
+
+  def qDegree(spark: SparkSession, dir: String): DataFrame =
+    EdgeOps.degrees(EdgeOps.symmetrize(
+      EdgeOps.compress(lineitemGraph(spark, dir))))
+
+  def qCompress(spark: SparkSession, dir: String): DataFrame =
+    EdgeOps.compress(lineitemGraph(spark, dir))
+
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val n = TriangleCount.total(lineitemGraph(spark, dir))
+    import spark.implicits._
+    Seq(n).toDF("triangles")
+  }
+
+  def qCc(spark: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.run(lineitemGraph(spark, dir)).components
+
+  def qPagerank(spark: SparkSession, dir: String): DataFrame =
+    PageRank.run(lineitemGraph(spark, dir), numIter = 5, tol = 0.0)
+      .ranks.select(col("v"), round(col("rank"), 4).as("rank"))
+
+  def qLpa(spark: SparkSession, dir: String): DataFrame =
+    LabelPropagation.run(lineitemGraph(spark, dir), maxIter = 10).labels
+
+  def qLeiden(spark: SparkSession, dir: String): DataFrame =
+    Leiden.run(lineitemGraph(spark, dir)).assignment
+
+  def qTrianglesPerVertex(spark: SparkSession, dir: String): DataFrame =
+    TriangleCount.perVertex(lineitemGraph(spark, dir))
+
+  // --- training-data pipeline queries over `documents` -------------------
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), lit(" "), lit(""))) + 1)
+        .cast("long").as("n_tokens"),
+      round(
+        (length(col("text")) -
+          length(regexp_replace(col("text"), lit("[^a-zA-Z0-9 ]"), lit(""))))
+          .cast("double") / length(col("text")).cast("double"), 4)
+        .as("punct_ratio"))
+  }
+}
