@@ -36,8 +36,8 @@ object CodeTableSynth {
           pmod(xxhash64(lit("dir"), col("_i"), lit(seed)), lit(37)),
           lit("/file"), col("_i"), lit("."), element_at(extArr, col("_li") + 1)
         ).as("path"),
-        hex(xxhash64(lit("commit"), col("_i") / filesPerCommit, lit(seed)))
-          .as("commit"),
+        hex(xxhash64(lit("commit"), floor(col("_i") / filesPerCommit)
+          .cast("long"), lit(seed))).as("commit"),
         element_at(langArr, col("_li") + 1).as("lang"),
         // pseudo-code body: length and tokens vary per row so the sha256
         // invariant is non-trivial
