@@ -22,6 +22,14 @@ object SparkEntry {
     "q_leiden" -> Queries.qLeiden _,
     "q_dedup_exact" -> Queries.qDedupExact _,
     "q_text_stats" -> Queries.qTextStats _,
+    "q_jaccard" -> Queries.qJaccard _,
+    "q_minhash_lsh" -> Queries.qMinhashLsh _,
+    "q_simhash_near" -> Queries.qSimhashNear _,
+    "q_langid" -> Queries.qLangid _,
+    "q_quality" -> Queries.qQuality _,
+    "q_fingerprint" -> Queries.qFingerprint _,
+    "q_ann_brute" -> Queries.qAnnBrute _,
+    "q_ann_lsh" -> Queries.qAnnLsh _,
   )
 
   /** DuckDB-runnable oracles over the same parquet tables. Non-SQL-
@@ -105,6 +113,32 @@ object SparkEntry {
         """SELECT md5(text) AS text_hash, count(*) AS n,
           |       min(doc_id) AS keep_id
           |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_jaccard" ->
+        """WITH words AS (
+          |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS w
+          |  FROM documents
+          |),
+          |dw AS (SELECT DISTINCT id, w FROM words WHERE length(w) > 0),
+          |sizes AS (SELECT id, count(*) AS sz FROM dw GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |),
+          |inter AS (
+          |  SELECT p.id_a, p.id_b, count(*) AS i
+          |  FROM pairs p
+          |  JOIN dw x ON x.id = p.id_a
+          |  JOIN dw y ON y.id = p.id_b AND y.w = x.w
+          |  GROUP BY 1, 2
+          |)
+          |SELECT p.id_a, p.id_b,
+          |  round(CAST(coalesce(i.i, 0) AS DOUBLE)
+          |        / (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+          |FROM pairs p
+          |JOIN sizes sa ON sa.id = p.id_a
+          |JOIN sizes sb ON sb.id = p.id_b
+          |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin,
 
       "q_text_stats" ->
         """SELECT doc_id,

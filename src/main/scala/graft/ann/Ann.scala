@@ -1,0 +1,87 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path (candidates
+  * only meet inside a bucket — the cross join disappears).
+  *
+  * All vector math is codegen'd higher-order functions
+  * (zip_with + aggregate), no UDFs.
+  */
+object Ann {
+
+  /** dot(a,b) as a column expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (brute force —
+    * the correctness baseline; O(|q|*|corpus|), use only for small |q|).
+    * queries/corpus: (id, vec). Output: (query_id, neighbor_id, cos, rank).
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane signature: `planes` sign bits, plane
+    * j's i-th component is +-1 from xxhash64(seed, j, i). Vectors close in
+    * cosine share sign bits with high probability. */
+  def rhpSignature(vec: Column, dim: Int, planes: Int,
+      seed: Long = 42L): Column = {
+    val bits = (0 until planes).map { j =>
+      val s = (0 until dim).map { i =>
+        val sign = when(
+          pmod(xxhash64(lit(seed), lit(j), lit(i)), lit(2)) === 0,
+          lit(1.0d)).otherwise(lit(-1.0d))
+        element_at(vec, i + 1).cast("double") * sign
+      }.reduce(_ + _)
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: band the signature into `bands`
+    * buckets, candidates = same bucket in any band, then exact cosine +
+    * window top-k on the candidates only. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(planes % bands == 0)
+    val r = planes / bands
+    val mask = (1L << r) - 1
+    def withBuckets(df: DataFrame, idName: String, vecName: String) =
+      df.select(col("id").as(idName), col("vec").as(vecName),
+        rhpSignature(col("vec"), dim, planes, seed).as("sig"))
+        .select(col(idName), col(vecName),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val q = withBuckets(queries, "query_id", "qv")
+    val c = withBuckets(corpus, "neighbor_id", "cv")
+    val cand = q.join(c, Seq("band", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

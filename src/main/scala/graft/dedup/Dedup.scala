@@ -1,0 +1,146 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All deterministic (hash
+  * functions are seeded xxhash64 — pure functions of content), all
+  * expressed as scans + hash aggregations so they scale linearly:
+  *
+  *  - exact: one groupBy on a content hash (one shuffle);
+  *  - MinHash signatures: one explode + one groupBy(doc) with H min
+  *    aggregates (map-side partial aggregation collapses the shingle
+  *    blowup before the shuffle);
+  *  - LSH banding: explode H-length signature into B bands, groupBy
+  *    (band, bandHash) — candidate pairs only ever meet inside a bucket,
+  *    never a cross join;
+  *  - SimHash: explode tokens + 64 signed-bit sums per doc, again
+  *    map-side combined.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full-content hash.
+    * Output: (text_hash, n, keep_id) — keep the minimum id. */
+  def exact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** (id, shingle_hash) pairs: word w-shingles hashed to 64 bits. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 3): DataFrame = {
+    val tokens = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val n = greatest(size(tokens) - (w - 1), lit(1))
+    val grams = transform(sequence(lit(0), n - 1),
+      i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(w)))))
+    docs.select(col(idCol).as("id"), explode(grams).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: H permutations via seeded rehash of the shingle.
+    * Output: (id, sig ARRAY<BIGINT> length numHashes). */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 64,
+      shingleWidth: Int = 3): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, shingleWidth)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*)
+        .as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join, estimate
+    * jaccard = matching minhash fraction. Output:
+    * (id_a, id_b, est_jaccard) with id_a < id_b, distinct. */
+  def minhashLshPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
+      shingleWidth: Int = 3, minEstJaccard: Double = 0.0): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val sig = minhashSignatures(docs, textCol, idCol, numHashes,
+      shingleWidth).localCheckpoint(true)
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          transform(slice(col("sig"), b * r + 1, lit(r)),
+            (x: Column) => x.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), (m: Column) => m)).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .distinct()
+    pairs.where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** 64-bit SimHash over whitespace tokens. Output: (id, simhash). */
+  def simhash(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("t"))
+      .where(length(col("t")) > 0)
+      .withColumn("h", xxhash64(col("t")))
+    // per bit: sum of +/-1 by bit value; sign -> bit. 64 aggregates, one
+    // shuffle, map-side combined.
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Hamming-close SimHash pairs via 4-piece pigeonhole LSH: near pairs
+    * (distance <= 3 per 16-bit piece guarantee) share at least one exact
+    * 16-bit piece — bucket-join on pieces, verify with bit_count. */
+  def simhashNearPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash(docs, textCol, idCol).localCheckpoint(true)
+    val pieces = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(p =>
+        shiftright(col("simhash"), p * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
+    val a = pieces.select(col("piece"), col("pval"), col("id").as("id_a"),
+      col("simhash").as("s_a"))
+    val b = pieces.select(col("piece"), col("pval"), col("id").as("id_b"),
+      col("simhash").as("s_b"))
+    a.join(b, Seq("piece", "pval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram (word w-shingle) Jaccard for given candidate pairs
+    * (id_a, id_b). One join per side plus a set-intersection groupBy. */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      w: Int = 1): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, w).localCheckpoint(true)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shB = sh.select(col("id").as("id_b"), col("shingle"))
+    val interCount = pairs
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(shB, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(interCount, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))), 6)
+          .as("jaccard"))
+  }
+}

@@ -80,6 +80,56 @@ object Queries {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
 
+  /** Unigram Jaccard similarity for consecutive doc-id pairs — exact
+    * n-gram dedup scoring with a portable SQL oracle. */
+  def qJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 1).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), "id_b")
+    graft.dedup.Dedup.jaccardForPairs(docs, pairs, w = 1)
+  }
+
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashLshPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      numHashes = 32, bands = 8, minEstJaccard = 0.2)
+
+  def qSimhashNear(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashNearPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), maxHamming = 8)
+
+  def qLangid(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.text.TextOps.languageId(col("text"))
+        .as("lang_guess"))
+
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextOps.qualityScore(col("text")).as("quality"),
+        graft.text.TextOps.subwordCount(col("text")).as("n_subwords"))
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextOps.shingleFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.min_hash").as("min_hash"),
+        col("fp.max_hash").as("max_hash"))
+
+  def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.ann.Ann.bruteTopK(emb.where(col("id") < 10), emb, k = 5)
+  }
+
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.ann.Ann.lshTopK(emb.where(col("id") < 10), emb, k = 5, dim = 64)
+  }
+
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     d.select(
