@@ -15,6 +15,8 @@ object Verify {
       // no-stats leaves default to Long.MaxValue and make Catalyst's
       // multiplicative join-size estimates explode on iterative plans
       .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -41,8 +41,12 @@ object ConnectedComponents {
         greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+    // partition the static adjacency by the per-round join key (dst) so
+    // each round shuffles only the labels table, not the edges
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val adj = canon.select(col("src"), col("dst"))
       .unionAll(canon.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("dst"))
       .ckpt
     val verts = vertices.map(_.select(col("v")).distinct())
       .getOrElse(EdgeOps.vertices(canon))
@@ -53,30 +57,37 @@ object ConnectedComponents {
     var done = verts.isEmpty
     while (!done && it < maxIter) {
       val t0 = System.nanoTime()
-      // gather: min label over neighborhood
-      val nbrMin = adj.join(labels, adj("dst") === labels("v"))
+      // gather: min label over neighborhood. shuffle_hash hint: the static
+      // adjacency side must not be re-sorted every round (SMJ would)
+      val nbrMin = adj.join(labels.hint("shuffle_hash"),
+          adj("dst") === labels("v"))
         .groupBy(adj("src").as("v"))
         .agg(min(col("component")).as("nmin"))
+      // checkpoint before the self-join: both jump sides read the
+      // materialized 1-row-per-vertex table instead of recomputing the
+      // full gather twice
       val stepped = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
+        .select(col("v"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
+        .ckpt
       // pointer jump: component <- component(component); component ids are
-      // always vertex ids of the same component, so the lookup total-joins
+      // always vertex ids of the same component, so the lookup total-joins.
+      // The previous label rides along so the convergence check is a
+      // filter-count on this checkpoint, not another join job.
       val jumped = stepped.alias("a")
         .join(stepped.select(col("v").as("cv"), col("component").as("cc")),
           col("a.component") === col("cv"), "left")
-        .select(col("a.v").as("v"),
+        .select(col("a.v").as("v"), col("a.old").as("old"),
           coalesce(col("cc"), col("a.component")).as("component"))
         .ckpt
 
-      val changed = jumped.alias("n")
-        .join(labels.select(col("v"), col("component").as("old")), "v")
-        .where(col("component") =!= col("old")).count()
+      val changed = jumped.where(col("component") =!= col("old")).count()
+      val next = jumped.drop("old")
       sink.add(IterMetric("cc", 0, it, messages = -1, movesAccepted = changed,
         frontier = -1, qualityDelta = 0.0,
         seconds = (System.nanoTime() - t0) / 1e9))
-      labels = jumped
+      labels = next
       it += 1
       done = changed == 0
     }

@@ -47,7 +47,33 @@ object Incremental {
     val mv = Leiden.movement(adj, deg, m2, init, verts, cfg, sink, 0)
     val ref = Leiden.refinement(adj, deg, m2, mv.assign, verts, cfg, sink, 0,
       isInitial = true)
-    State(canon, ref.assign.ckpt, m2)
+    State(canon, resolveHierarchy(canon, ref.assign, cfg, sink), m2)
+  }
+
+  /** Contract subcommunities and solve the (orders-of-magnitude smaller)
+    * supergraph with full hierarchical Leiden, then compose back: the
+    * base level stays frontier-limited while upper levels — which the
+    * reference's single-level public run() never maintains — are re-solved
+    * from scratch each batch at supergraph size. Returns the new
+    * (v, community, subcomm) assignment. */
+  private def resolveHierarchy(canon: DataFrame, assign: DataFrame,
+      cfg: Leiden.Config, sink: MetricsSink): DataFrame = {
+    val scMap = assign.select(col("v"), col("subcomm"))
+    val superEdges = canon
+      .join(scMap.select(col("v").as("src"), col("subcomm").as("scu")), "src")
+      .join(scMap.select(col("v").as("dst"), col("subcomm").as("scv")), "dst")
+      .select(least(col("scu"), col("scv")).as("src"),
+        greatest(col("scu"), col("scv")).as("dst"), col("weight"))
+    // seed the supergraph solve with the carried communities so a batch
+    // can only refine the partition, never regress below it
+    val carried = assign.groupBy(col("subcomm").as("v"))
+      .agg(min(col("community")).as("community"))
+    val superRes = Leiden.run(superEdges, cfg, sink, initial = Some(carried))
+    scMap
+      .join(superRes.assignment.select(col("v").as("subcomm"),
+        col("community")), "subcomm")
+      .select(col("v"), col("community"), col("subcomm"))
+      .ckpt
   }
 
   /** Apply one signed delta batch, warm-starting from `state`. */
@@ -96,7 +122,7 @@ object Incremental {
     val affected = k0.unionAll(mv.affected).distinct().ckpt
     val ref = Leiden.refinement(adj, deg, m2, mv.assign, affected, cfg, sink,
       0, isInitial = false)
-    State(newCanon, ref.assign.ckpt, m2)
+    State(newCanon, resolveHierarchy(newCanon, ref.assign, cfg, sink), m2)
   }
 
   /** Deterministic cumulative delta batches replicating the reference's

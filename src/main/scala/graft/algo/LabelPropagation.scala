@@ -34,7 +34,9 @@ object LabelPropagation {
       sink: MetricsSink = MetricsSink.discard): Result = {
 
     val canon = EdgeOps.compress(edges).where(col("src") =!= col("dst"))
-    val adj = EdgeOps.symmetrize(canon).ckpt
+    // static side partitioned by the per-round join key (see CC/PageRank)
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val adj = EdgeOps.symmetrize(canon).repartition(parts, col("dst")).ckpt
     val verts = vertices.map(_.select(col("v")).distinct())
       .getOrElse(EdgeOps.vertices(canon))
       .ckpt
@@ -44,7 +46,8 @@ object LabelPropagation {
     var done = verts.isEmpty
     while (!done && it < maxIter) {
       val t0 = System.nanoTime()
-      val msgs = adj.join(labels, adj("dst") === labels("v"))
+      val msgs = adj.join(labels.hint("shuffle_hash"),
+          adj("dst") === labels("v"))
         .groupBy(adj("src").as("v"), col("label"))
         .agg(sum(col("weight")).as("w"))
       // argmax weight, tie -> min label: max_by on (w, -label) is a single

@@ -82,8 +82,12 @@ object Leiden {
   // cold start: full Leiden on an edge table
   // ---------------------------------------------------------------------
 
+  /** @param initial optional warm-start partition (v, community); absent
+    *   means all-singleton (the reference's identity state). Vertices not
+    *   covered default to their own community. */
   def run(edges: DataFrame, cfg: Config = Config(),
-      sink: MetricsSink = MetricsSink.discard): Result = {
+      sink: MetricsSink = MetricsSink.discard,
+      initial: Option[DataFrame] = None): Result = {
 
     val canon0 = EdgeOps.compress(edges, cfg.eps).ckpt
     val m = EdgeOps.totalWeight(canon0)
@@ -96,7 +100,10 @@ object Leiden {
     var canon = canon0
     // per-level subcommunity mapping (v_level -> subcomm = v_{level+1})
     var mappings = Vector.empty[DataFrame]
-    var carriedComm: Option[DataFrame] = None // (v, community) for this level
+    // (v, community) carried into the current level; at level 0 this is
+    // the caller's warm-start partition if any
+    var carriedComm: Option[DataFrame] =
+      initial.map(_.select(col("v"), col("community")).ckpt)
     var topAssign: DataFrame = null
     var sweeps = Vector.empty[Int]
     var level = 0
@@ -197,22 +204,36 @@ object Leiden {
     var sweep = 0
     var totalMoves = 0L
     var frontierN = active.count()
+    val nVerts = a.count()
+
+    // stale snapshot of community degrees (throughput.rs:62-166), computed
+    // from the full assignment ONCE and then maintained incrementally from
+    // the applied moves (cdeg[old] -= d_v, cdeg[new] += d_v — exactly the
+    // reference's sequential bookkeeping at hit_leiden.rs:267-268): a
+    // moves-sized job per sweep instead of a full-table aggregation
+    var commDeg = a.join(deg, "v")
+      .groupBy(col("community")).agg(sum("deg").as("cdeg"))
+      .ckpt
 
     while (frontierN > 0 && sweep < cfg.maxSweeps) {
       val t0 = System.nanoTime()
-      // stale snapshot of community degrees (throughput.rs:62-166);
-      // checkpointed so the per-sweep plan keeps a flat join tree —
-      // Catalyst's join-size estimate is a *product* over the tree, and
-      // deep trees make stats estimation itself the bottleneck
-      val commDeg = a.join(deg, "v")
-        .groupBy(col("community")).agg(sum("deg").as("cdeg"))
-        .ckpt
 
-      // gather: active vertices' neighbor weights by neighbor community
-      val act = adj.join(active.withColumnRenamed("v", "src"), Seq("src"),
-        "left_semi")
+      // gather: active vertices' neighbor weights by neighbor community;
+      // a full frontier (cold-start first sweep) skips the semi-join.
+      // Self-loops are excluded: a supernode's self-loop travels with it,
+      // so it cancels out of the move gain — counting it into wCur (as the
+      // reference's neighbor loop does, hit_leiden.rs:234-239) freezes
+      // movement on aggregated graphs, which the reference never reaches
+      // (its public run() is single-level). Self-loops still count in
+      // degrees and m, per the modularity convention.
+      val act0 =
+        if (frontierN >= nVerts) adj
+        else adj.join(active.withColumnRenamed("v", "src"), Seq("src"),
+          "left_semi")
+      val act = act0.where(col("src") =!= col("dst"))
       val nbr = act.join(
-        a.select(col("v").as("dst"), col("community").as("nbrComm")), "dst")
+        a.select(col("v").as("dst"), col("community").as("nbrComm"))
+          .hint("shuffle_hash"), "dst")
       val byComm = nbr.groupBy(col("src"), col("nbrComm"))
         .agg(sum("weight").as("wTo"))
 
@@ -274,6 +295,22 @@ object Leiden {
           .select(col("v"),
             coalesce(col("newComm"), col("community")).as("community"),
             col("subcomm"))
+          .ckpt
+
+        // incremental community-degree update from the applied moves
+        val mvDeg = moves
+          .join(a.select(col("v"), col("community").as("oldComm")), "v")
+          .join(deg.select(col("v"), col("deg").as("dv")), "v")
+        val cdegDelta = mvDeg.select(explode(array(
+          struct(col("oldComm").as("community"), negate(col("dv")).as("d")),
+          struct(col("newComm").as("community"), col("dv").as("d"))))
+          .as("x"))
+          .select(col("x.community"), col("x.d"))
+          .groupBy("community").agg(sum("d").as("d"))
+        commDeg = commDeg.join(cdegDelta, Seq("community"), "full")
+          .select(col("community"),
+            (coalesce(col("cdeg"), lit(0.0)) + coalesce(col("d"), lit(0.0)))
+              .as("cdeg"))
           .ckpt
 
         // next frontier: gated movers plus neighbors of applied movers now
@@ -386,6 +423,7 @@ object Leiden {
         .join(a.select(col("v").as("dst"), col("community").as("nComm"),
           col("subcomm").as("nSc")), "dst")
         .where(col("nComm") === col("myComm")) // within community only
+        .where(col("src") =!= col("dst")) // self-loops cancel out of gain
       val bySc = g.groupBy(col("src"), col("mySc"), col("nSc"))
         .agg(sum("weight").as("wTo"))
       val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")

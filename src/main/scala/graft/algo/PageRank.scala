@@ -55,21 +55,34 @@ object PageRank {
 
     // out-weight per vertex; isolated vertices have none -> dangling
     val wdeg = EdgeOps.degrees(adj)
-    // pre-join the per-edge share w/wdeg(src) once: static across iterations
+    // pre-join the per-edge share w/wdeg(src) once (static across
+    // iterations) and pre-partition it by the join key: the checkpointed
+    // partitioning is reused every superstep, so only the small ranks
+    // table is shuffled per iteration, never the edge table
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val shares = adj.join(wdeg, adj("src") === wdeg("v"))
       .select(col("src"), col("dst"), (col("weight") / col("deg")).as("share"))
+      .repartition(parts, col("src"))
       .ckpt
     val dangling = verts.join(wdeg, Seq("v"), "left_anti").ckpt
+    // computing dangling mass costs one driver job per iteration; skip it
+    // entirely for the (overwhelmingly common) no-dangling case
+    val hasDangling = !dangling.isEmpty
 
     var ranks = verts.withColumn("rank", lit(1.0 / n)).ckpt
     var it = 0
     var converged = false
     while (it < numIter && !converged) {
       val t0 = System.nanoTime()
-      val dMassRow = dangling.join(ranks, "v").agg(sum("rank")).collect()(0)
-      val dMass = if (dMassRow.isNullAt(0)) 0.0 else dMassRow.getDouble(0)
+      val dMass = if (!hasDangling) 0.0 else {
+        val r = dangling.join(ranks, "v").agg(sum("rank")).collect()(0)
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
 
-      val contribs = shares.join(ranks, shares("src") === ranks("v"))
+      // shuffle_hash: build on the small ranks side; SMJ would re-sort
+      // the static 2|E|-row shares table every iteration
+      val contribs = shares.join(ranks.hint("shuffle_hash"),
+          shares("src") === ranks("v"))
         .select(col("dst").as("v"), (col("share") * col("rank")).as("c"))
       val sums = contribs.groupBy("v").agg(sum("c").as("mass"))
       val newRanks = verts.join(sums, Seq("v"), "left")
@@ -80,7 +93,7 @@ object PageRank {
         .ckpt
 
       val delta =
-        if (tol > 0.0 || !sink.eq(MetricsSink.discard)) {
+        if (tol > 0.0) {
           newRanks.join(ranks.withColumnRenamed("rank", "old"), "v")
             .agg(sum(abs(col("rank") - col("old")))).collect()(0).getDouble(0)
         } else -1.0

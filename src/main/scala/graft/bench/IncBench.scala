@@ -1,0 +1,74 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.algo.{Incremental, Quality}
+import graft.source.CodeTableSynth
+
+/** Incremental benchmark runner — the analog of the reference's
+  * run_incremental (/root/reference/src/benchmark/
+  * hit_leiden_incremental.rs:7-103): paper_split the edge set
+  * (initial 80%, then cumulative batches), per batch run the warm-start
+  * HIT update vs a cold full recompute (the "ST baseline"), record
+  * wall-clock, speedup and quality delta. Emits one JSON line.
+  *
+  * Note the reference's own bench re-runs from identity state each batch
+  * (SURVEY.md section 3.2); ours exercises true warm-start, which is the
+  * engine's actual contract.
+  */
+object IncBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_INC_N", "50000").toLong
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_INC_BATCH", "1000").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_INC_ROUNDS", "5").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val edges = CodeTableSynth.sbmEdges(spark, n, nBlocks = 32,
+      degIntra = 6, degInter = 1).localCheckpoint(true)
+    val (init, batches) = Incremental.paperSplit(edges, 0.8, batchSize,
+      rounds)
+
+    def secs[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (state0, tInit) = secs(Incremental.initial(init))
+    var state = state0
+    var cumulative = init
+    val rows = batches.zipWithIndex.map { case (b, i) =>
+      cumulative = cumulative.unionAll(b).localCheckpoint(true)
+      val (next, tWarm) = secs {
+        val s = Incremental.update(state, b); s.assign.count(); s
+      }
+      state = next
+      val (cold, tCold) = secs {
+        val s = Incremental.initial(cumulative); s.assign.count(); s
+      }
+      val qWarm = Quality.modularity(state.canon,
+        state.assign.select(col("v"), col("community")))
+      val qCold = Quality.modularity(cold.canon,
+        cold.assign.select(col("v"), col("community")))
+      (i, tWarm, tCold, tCold / tWarm, qWarm, qCold)
+    }
+    val avgSpeedup = rows.map(_._4).sum / rows.size
+    val batchJson = rows.map { case (i, w, c, s, qw, qc) =>
+      s"""{"batch":$i,"warm_sec":$w,"cold_sec":$c,"speedup":$s,""" +
+        s""""q_warm":$qw,"q_cold":$qc}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"incremental","initial_sec":$tInit,""" +
+      s""""edges":${edges.count()},"batch_size":$batchSize,""" +
+      s""""rounds":$rounds,"avg_speedup":$avgSpeedup,"batches":$batchJson}""")
+    spark.stop()
+  }
+}

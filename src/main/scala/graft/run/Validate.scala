@@ -1,0 +1,57 @@
+package graft.run
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partition validation — the engine-side equivalent of the reference's
+  * invariants + equivalence modules
+  * (/root/reference/src/core/validation/invariants.rs:3-12,
+  * equivalence.rs:5-28).
+  *
+  * Deterministic policy: exact partition identity after canonical
+  * relabeling (each community renamed to its minimum member id — ids are
+  * internal, structure is the contract). Throughput policy: quality delta
+  * within tolerance (reference default 0.001).
+  */
+object Validate {
+
+  final case class Outcome(ok: Boolean, reason: String)
+
+  /** Hard invariants: every vertex exactly one community; community ids
+    * are member vertex ids (the non-dense analog of "id < node_count"). */
+  def invariants(assign: DataFrame): Outcome = {
+    val n = assign.count()
+    val distinctV = assign.select("v").distinct().count()
+    if (n != distinctV)
+      return Outcome(ok = false, s"duplicate assignments: $n rows, $distinctV vertices")
+    val badIds = assign.select(col("community").as("v")).distinct()
+      .join(assign.select("v"), Seq("v"), "left_anti").count()
+    if (badIds != 0)
+      return Outcome(ok = false, s"$badIds community ids are not member vertex ids")
+    Outcome(ok = true, "ok")
+  }
+
+  /** Canonical relabel: community -> min member id. */
+  def canonicalize(assign: DataFrame): DataFrame = {
+    val minOf = assign.groupBy("community").agg(min("v").as("canon"))
+    assign.join(minOf, "community").select(col("v"),
+      col("canon").as("community"))
+  }
+
+  /** Deterministic-mode equivalence: exact canonical identity. */
+  def equivalentExact(ref: DataFrame, cand: DataFrame): Outcome = {
+    val a = canonicalize(ref)
+    val b = canonicalize(cand)
+    val diff = a.unionAll(b).groupBy("v", "community")
+      .agg(count(lit(1)).as("n")).where(col("n") =!= 2).count()
+    if (diff == 0) Outcome(ok = true, "exact match")
+    else Outcome(ok = false, s"$diff (v, community) rows differ")
+  }
+
+  /** Throughput-mode equivalence: |qRef - qCand| <= tol
+    * (/root/reference/src/core/validation/equivalence.rs:21-27). */
+  def equivalentQuality(qRef: Double, qCand: Double,
+      tol: Double = 0.001): Outcome =
+    if (math.abs(qRef - qCand) <= tol) Outcome(ok = true, "within tolerance")
+    else Outcome(ok = false, s"quality delta ${math.abs(qRef - qCand)} > $tol")
+}

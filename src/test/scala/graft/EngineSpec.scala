@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.run.Engine
+import graft.algo.Leiden
+
+/** Engine facade: run -> checkpoint -> update -> resume roundtrip. */
+class EngineSpec extends SparkSpecBase {
+
+  test("run + update + resume against durable checkpoints") {
+    val root = Files.createTempDirectory("graft-engine").toString
+    val cfg = Engine.Config(checkpointRoot = Some(root), runId = "r1")
+
+    val g = edges(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0), (5L, 3L, 1.0), (2L, 3L, 0.05))
+    val o0 = Engine.run(g, cfg)
+    assert(o0.batch == 0 && o0.communityCount == 2)
+    assert(o0.quality > 0.3)
+    assert(o0.metrics.nonEmpty) // per-iteration metrics captured
+
+    // insert a new vertex 6 attached to the second triangle
+    val o1 = Engine.update(spark, edges((6L, 3L, 1.0), (6L, 4L, 1.0)), cfg)
+    assert(o1.batch == 1)
+    assert(o1.assignment.count() == 7)
+    val part = canonicalPartition(toMapLL(o1.assignment))
+    assert(part(6L) == part(3L)) // new vertex joins the triangle community
+
+    // resume reads back exactly the latest assignment
+    val resumed = Engine.resume(spark, cfg).get
+    assert(canonicalPartition(toMapLL(resumed)) == part)
+  }
+
+  test("config validation rejects bad settings") {
+    intercept[IllegalArgumentException] {
+      Engine.Config(leiden = Leiden.Config(maxSweeps = 0)).validate()
+    }
+    intercept[IllegalStateException] {
+      Engine.update(spark, edges((0L, 1L, 1.0)),
+        Engine.Config(checkpointRoot =
+          Some(Files.createTempDirectory("empty").toString)))
+    }
+  }
+}
