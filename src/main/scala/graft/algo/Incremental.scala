@@ -65,9 +65,26 @@ object Incremental {
       .select(least(col("scu"), col("scv")).as("src"),
         greatest(col("scu"), col("scv")).as("dst"), col("weight"))
     // seed the supergraph solve with the carried communities so a batch
-    // can only refine the partition, never regress below it
-    val carried = assign.groupBy(col("subcomm").as("v"))
-      .agg(min(col("community")).as("community"))
+    // can only refine the partition, never regress below it. Movement can
+    // only ever move vertices toward *neighbor* communities (reference
+    // hit_leiden.rs:234-240 likewise), so a community that a deletion has
+    // internally disconnected would never split — enforce Leiden's
+    // connectivity guarantee on the seed first: each carried community is
+    // replaced by its connected components on the supergraph.
+    val carried0 = assign.groupBy(col("subcomm").as("v"))
+      .agg(min(col("community")).as("community")).localCheckpoint(true)
+    val superNodes = carried0.select("v")
+    val intraSuper = superEdges
+      .join(carried0.select(col("v").as("src"), col("community").as("cu")),
+        "src")
+      .join(carried0.select(col("v").as("dst"), col("community").as("cv")),
+        "dst")
+      .where(col("cu") === col("cv"))
+      .select("src", "dst")
+    val carried = ConnectedComponents
+      .run(intraSuper, vertices = Some(superNodes))
+      .components
+      .select(col("v"), col("component").as("community"))
     val superRes = Leiden.run(superEdges, cfg, sink, initial = Some(carried))
     scMap
       .join(superRes.assignment.select(col("v").as("subcomm"),

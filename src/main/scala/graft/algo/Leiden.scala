@@ -61,15 +61,27 @@ object Leiden {
       maxRefineRounds: Int = 5,
       eps: Double = 1e-9,
       /** adjacency partition count; 0 = the session's shuffle partitions */
-      numPartitions: Int = 0)
+      numPartitions: Int = 0,
+      /** quality function: false = modularity (reference gain,
+        * hit_leiden.rs:250-255), true = CPM (paper Def. 1) — the gain uses
+        * community sizes (in base vertices) instead of degrees */
+      useCpm: Boolean = false,
+      /** explicit hot-key salting for the gather join: vertices whose
+        * degree exceeds hotDegree are joined via saltFactor sub-keys
+        * (two-stage aggregation). 0/1 = off; AQE skew-join handles
+        * sort-merge skew, but the gather is a shuffled-hash join, which
+        * AQE does not split. */
+      saltFactor: Int = 0,
+      hotDegree: Double = 1e6)
 
   private[algo] def parts(df: DataFrame, cfg: Config): Int =
     if (cfg.numPartitions > 0) cfg.numPartitions
     else df.sparkSession.sessionState.conf.numShufflePartitions
 
   /** @param assignment (v LONG, community LONG) for every input vertex
-    * @param modularity final modularity at gamma (real scoring — the
-    *   reference emits a placeholder 1.0, hit_leiden.rs:69-75)
+    * @param modularity final quality at gamma: modularity, or CPM when
+    *   cfg.useCpm (real scoring — the reference emits a placeholder 1.0,
+    *   hit_leiden.rs:69-75)
     */
   final case class Result(
       assignment: DataFrame,
@@ -104,6 +116,8 @@ object Leiden {
     // the caller's warm-start partition if any
     var carriedComm: Option[DataFrame] =
       initial.map(_.select(col("v"), col("community")).ckpt)
+    // (v, size) node sizes in base vertices, None = all ones (level 0)
+    var carriedSize: Option[DataFrame] = None
     var topAssign: DataFrame = null
     var sweeps = Vector.empty[Int]
     var level = 0
@@ -127,12 +141,13 @@ object Leiden {
       }
 
       // 1. movement — cold start activates every vertex (hit_leiden.rs:183-186)
-      val mv = movement(adj, deg, m2, init.ckpt, verts, cfg, sink, level)
+      val mv = movement(adj, deg, m2, init.ckpt, verts, cfg, sink, level,
+        carriedSize)
       sweeps :+= mv.sweeps
 
       // 2. refinement — initial run refines everyone (hit_leiden.rs:373-379)
       val ref = refinement(adj, deg, m2, mv.assign, verts, cfg, sink, level,
-        isInitial = true)
+        isInitial = true, nodeSize = carriedSize)
       val assign = ref.assign.ckpt
 
       // 3. aggregation: contract subcommunities (pure group-sum; the
@@ -155,6 +170,13 @@ object Leiden {
         // supergraph initial communities = community of the subcommunity
         carriedComm = Some(assign.groupBy(col("subcomm").as("v"))
           .agg(min(col("community")).as("community")).ckpt)
+        // supernode size = total base vertices it contains (CPM gain)
+        val szCur = carriedSize.getOrElse(
+          assign.select(col("v"), lit(1L).as("size")))
+        carriedSize = Some(assign.select(col("v"), col("subcomm"))
+          .join(szCur, "v")
+          .groupBy(col("subcomm").as("v")).agg(sum("size").as("size"))
+          .ckpt)
         canon = superCanon
         level += 1
       }
@@ -175,7 +197,9 @@ object Leiden {
       .select(col("v"), col("community"))
       .ckpt
 
-    val q = Quality.modularity(canon0, finalAssign, cfg.gamma)
+    val q =
+      if (cfg.useCpm) Quality.cpm(canon0, finalAssign, cfg.gamma)
+      else Quality.modularity(canon0, finalAssign, cfg.gamma)
     val nComm = finalAssign.select("community").distinct().count()
     Result(finalAssign, level + 1, q, nComm, sweeps)
   }
@@ -193,10 +217,13 @@ object Leiden {
     */
   def movement(adj: DataFrame, deg: DataFrame, m2: Double, assign: DataFrame,
       active0: DataFrame, cfg: Config, sink: MetricsSink,
-      level: Int): MovementOut = {
+      level: Int, nodeSize: Option[DataFrame] = None): MovementOut = {
 
     val spark = adj.sparkSession
     import spark.implicits._
+    // node sizes in base vertices (CPM gain); level 0 = all ones
+    val sz = nodeSize.getOrElse(
+      assign.select(col("v"), lit(1L).as("size"))).select("v", "size")
     var a = assign
     var active = active0.select(col("v")).ckpt
     var changed = Seq.empty[Long].toDF("v")
@@ -206,13 +233,15 @@ object Leiden {
     var frontierN = active.count()
     val nVerts = a.count()
 
-    // stale snapshot of community degrees (throughput.rs:62-166), computed
-    // from the full assignment ONCE and then maintained incrementally from
-    // the applied moves (cdeg[old] -= d_v, cdeg[new] += d_v — exactly the
-    // reference's sequential bookkeeping at hit_leiden.rs:267-268): a
-    // moves-sized job per sweep instead of a full-table aggregation
-    var commDeg = a.join(deg, "v")
-      .groupBy(col("community")).agg(sum("deg").as("cdeg"))
+    // stale snapshot of community degrees and sizes (throughput.rs:62-166),
+    // computed from the full assignment ONCE and then maintained
+    // incrementally from the applied moves (cdeg[old] -= d_v,
+    // cdeg[new] += d_v — the reference's sequential bookkeeping at
+    // hit_leiden.rs:267-268): a moves-sized job per sweep instead of a
+    // full-table aggregation
+    var commDeg = a.join(deg, "v").join(sz, "v")
+      .groupBy(col("community"))
+      .agg(sum("deg").as("cdeg"), sum("size").as("csize"))
       .ckpt
 
     while (frontierN > 0 && sweep < cfg.maxSweeps) {
@@ -231,11 +260,32 @@ object Leiden {
         else adj.join(active.withColumnRenamed("v", "src"), Seq("src"),
           "left_semi")
       val act = act0.where(col("src") =!= col("dst"))
-      val nbr = act.join(
-        a.select(col("v").as("dst"), col("community").as("nbrComm"))
-          .hint("shuffle_hash"), "dst")
-      val byComm = nbr.groupBy(col("src"), col("nbrComm"))
-        .agg(sum("weight").as("wTo"))
+      val aByDst = a.select(col("v").as("dst"), col("community").as("nbrComm"))
+      val byComm =
+        if (cfg.saltFactor > 1) {
+          // explicit skew split: hub destinations (degree > hotDegree) are
+          // joined through saltFactor sub-keys with the assignment row
+          // replicated per salt, then re-aggregated — the shuffled-hash
+          // join otherwise sends a hub's entire neighbor list to one task
+          val hot = deg.where(col("deg") > cfg.hotDegree)
+            .select(col("v").as("dst")).ckpt
+          val coldJ = act.join(hot, Seq("dst"), "left_anti")
+            .join(aByDst.hint("shuffle_hash"), "dst")
+            .select(col("src"), col("nbrComm"), col("weight"))
+          val saltVals = array((0 until cfg.saltFactor).map(lit): _*)
+          val hotJ = act.join(hot, Seq("dst"), "left_semi")
+            .withColumn("salt", pmod(xxhash64(col("src")),
+              lit(cfg.saltFactor)))
+            .join(aByDst.join(hot, Seq("dst"), "left_semi")
+              .withColumn("salt", explode(saltVals)), Seq("dst", "salt"))
+            .select(col("src"), col("nbrComm"), col("weight"))
+          coldJ.unionAll(hotJ).groupBy(col("src"), col("nbrComm"))
+            .agg(sum("weight").as("wTo"))
+        } else {
+          act.join(aByDst.hint("shuffle_hash"), "dst")
+            .groupBy(col("src"), col("nbrComm"))
+            .agg(sum("weight").as("wTo"))
+        }
 
       // wCur (weight to own community) via a window over the same src
       // partitioning — no self-join, no duplicated subtree
@@ -246,18 +296,27 @@ object Leiden {
           sum(when(col("nbrComm") === col("curComm"), col("wTo"))
             .otherwise(lit(0.0))).over(wSrc))
 
-      // gain = (wTo-wCur)/2m + g*d_v*(cdegCur-d_v-cdegCand)/(2m)^2
-      // (hit_leiden.rs:250-255); stale community degrees by construction
-      val cand = j.where(col("nbrComm") =!= col("curComm"))
-        .join(deg.select(col("v").as("src"), col("deg").as("dv")), "src")
-        .join(commDeg.select(col("community").as("curComm"),
-          col("cdeg").as("cdegCur")), "curComm")
-        .join(commDeg.select(col("community").as("nbrComm"),
-          col("cdeg").as("cdegCand")), "nbrComm")
-        .withColumn("gain",
+      // modularity gain = (wTo-wCur)/2m + g*d_v*(cdegCur-d_v-cdegCand)/(2m)^2
+      // (hit_leiden.rs:250-255); CPM gain = (wTo-wCur) - g*sz_v*(csizeCand
+      // - csizeCur + sz_v) (paper Def. 2 with node sizes in base vertices).
+      // Stale community stats by construction.
+      val gainExpr =
+        if (cfg.useCpm)
+          (col("wTo") - col("wCur")) - lit(cfg.gamma) * col("szv") *
+            (col("csizeCand") - col("csizeCur") + col("szv"))
+        else
           (col("wTo") - col("wCur")) / m2 +
             lit(cfg.gamma) * col("dv") *
-            (col("cdegCur") - col("dv") - col("cdegCand")) / (m2 * m2))
+            (col("cdegCur") - col("dv") - col("cdegCand")) / (m2 * m2)
+      val cand = j.where(col("nbrComm") =!= col("curComm"))
+        .join(deg.select(col("v").as("src"), col("deg").as("dv")), "src")
+        .join(sz.select(col("v").as("src"), col("size").as("szv")), "src")
+        .join(commDeg.select(col("community").as("curComm"),
+          col("cdeg").as("cdegCur"), col("csize").as("csizeCur")), "curComm")
+        .join(commDeg.select(col("community").as("nbrComm"),
+          col("cdeg").as("cdegCand"), col("csize").as("csizeCand")),
+          "nbrComm")
+        .withColumn("gain", gainExpr)
         .where(col("gain") > 0)
 
       // deterministic argmax: best gain, ties to the smallest community id
@@ -297,20 +356,24 @@ object Leiden {
             col("subcomm"))
           .ckpt
 
-        // incremental community-degree update from the applied moves
+        // incremental community-degree/size update from the applied moves
         val mvDeg = moves
           .join(a.select(col("v"), col("community").as("oldComm")), "v")
           .join(deg.select(col("v"), col("deg").as("dv")), "v")
+          .join(sz.select(col("v"), col("size").as("szv")), "v")
         val cdegDelta = mvDeg.select(explode(array(
-          struct(col("oldComm").as("community"), negate(col("dv")).as("d")),
-          struct(col("newComm").as("community"), col("dv").as("d"))))
-          .as("x"))
-          .select(col("x.community"), col("x.d"))
-          .groupBy("community").agg(sum("d").as("d"))
+          struct(col("oldComm").as("community"), negate(col("dv")).as("d"),
+            negate(col("szv")).as("s")),
+          struct(col("newComm").as("community"), col("dv").as("d"),
+            col("szv").as("s")))).as("x"))
+          .select(col("x.community"), col("x.d"), col("x.s"))
+          .groupBy("community").agg(sum("d").as("d"), sum("s").as("s"))
         commDeg = commDeg.join(cdegDelta, Seq("community"), "full")
           .select(col("community"),
             (coalesce(col("cdeg"), lit(0.0)) + coalesce(col("d"), lit(0.0)))
-              .as("cdeg"))
+              .as("cdeg"),
+            (coalesce(col("csize"), lit(0L)) + coalesce(col("s"), lit(0L)))
+              .as("csize"))
           .ckpt
 
         // next frontier: gated movers plus neighbors of applied movers now
@@ -361,9 +424,12 @@ object Leiden {
 
   def refinement(adj: DataFrame, deg: DataFrame, m2: Double,
       assign: DataFrame, affected: DataFrame, cfg: Config, sink: MetricsSink,
-      level: Int, isInitial: Boolean): RefinementOut = {
+      level: Int, isInitial: Boolean,
+      nodeSize: Option[DataFrame] = None): RefinementOut = {
 
     val spark = adj.sparkSession
+    val sz = nodeSize.getOrElse(
+      assign.select(col("v"), lit(1L).as("size"))).select("v", "size")
     var a = assign
     var refined: DataFrame = null
 
@@ -408,7 +474,10 @@ object Leiden {
     var moved = 1L
     while (moved > 0 && round < cfg.maxRefineRounds) {
       val t0 = System.nanoTime()
-      val scSizes = a.groupBy("subcomm").agg(count(lit(1)).as("scn"))
+      // scn = member count at this level (the singleton test is on level
+      // vertices, hit_leiden.rs:420); scbase = total base vertices (CPM)
+      val scSizes = a.join(sz, "v").groupBy("subcomm")
+        .agg(count(lit(1)).as("scn"), sum("size").as("scbase"))
         .ckpt
       val scDeg = a.join(deg, "v").groupBy("subcomm")
         .agg(sum("deg").as("scdeg")).ckpt
@@ -431,17 +500,26 @@ object Leiden {
         sum(when(col("nSc") === col("mySc"), col("wTo")).otherwise(lit(0.0)))
           .over(wSrc))
 
+      val refGain =
+        if (cfg.useCpm)
+          // singleton of base size sz_v merging into nSc of base size
+          // scbase: (wTo - wCur) - gamma * sz_v * scbase
+          (col("wTo") - coalesce(col("wCur"), lit(0.0))) -
+            lit(cfg.gamma) * col("szv") * col("scbase")
+        else
+          (col("wTo") - coalesce(col("wCur"), lit(0.0))) / m2 +
+            lit(cfg.gamma) * col("dv") *
+            (col("scdegCur") - col("dv") - col("scdegCand")) / (m2 * m2)
       val cand = withCur.where(col("nSc") =!= col("mySc"))
         .join(deg.select(col("v").as("src"), col("deg").as("dv")), "src")
+        .join(sz.select(col("v").as("src"), col("size").as("szv")), "src")
         .join(scDeg.select(col("subcomm").as("mySc"),
           col("scdeg").as("scdegCur")), "mySc")
         .join(scDeg.select(col("subcomm").as("nSc"),
           col("scdeg").as("scdegCand")), "nSc")
-        .join(scSizes.select(col("subcomm").as("nSc"), col("scn")), "nSc")
-        .withColumn("gain",
-          (col("wTo") - coalesce(col("wCur"), lit(0.0))) / m2 +
-            lit(cfg.gamma) * col("dv") *
-            (col("scdegCur") - col("dv") - col("scdegCand")) / (m2 * m2))
+        .join(scSizes.select(col("subcomm").as("nSc"), col("scn"),
+          col("scbase")), "nSc")
+        .withColumn("gain", refGain)
         .where(col("gain") > 0)
         // anti-swap guard: merging into another singleton only flows
         // toward the smaller subcommunity id
