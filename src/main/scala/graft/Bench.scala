@@ -75,14 +75,23 @@ object Bench {
 
     // part 1: per-query timings at local[cpus]
     // (SPARK_GRAFT_SCALING_ONLY=1 skips it while tuning the scaling leg)
+    // A query that throws reports -1.0 (failure sentinel) and lands in
+    // "failed" — never a plausible-looking partial elapsed time.
+    var failed = List.empty[String]
     val results =
       if (sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")) Nil
       else {
         val spark1 = session(cpus)
         val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark1, sfDir).count() } catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark1, sfDir).count()
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            name -> -1.0
+          }
         }
         spark1.stop()
         r
@@ -100,20 +109,44 @@ object Bench {
     // parallelism — the "same job, fewer executors" model; per-leg
     // partition counts would change spill behavior and skew the ratio
     val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
+    // pure-CPU probe at the same core pair: a shuffle-free, compute-bound
+    // job (iterated xxhash over a range). If IT scales ~linearly while the
+    // shuffle job doesn't, the shuffle-job shortfall is the box's shared
+    // memory/shuffle bandwidth, not the plan (BASELINE.md protocol).
+    def cpuProbe(spark: SparkSession): Double = {
+      import org.apache.spark.sql.functions._
+      def leg(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 64L << 20, 1, scaleParts)
+          .select(xxhash64(xxhash64(xxhash64(col("id"), lit(1)), lit(2)),
+            lit(3)).as("h"))
+          .agg(max("h")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      leg() // warmup (codegen)
+      val timed = Seq.fill(3)(leg()).sorted
+      timed(1) // median
+    }
     val sLow = session(nLow, scaleParts)
     val (e1, pr1, cc1, ss1) = scalingJob(sLow, scaleN)
+    val cpuLow = cpuProbe(sLow)
     sLow.stop()
     val sHigh = session(nHigh, scaleParts)
     val (e2, pr2, cc2, ss2) = scalingJob(sHigh, scaleN)
+    val cpuHigh = cpuProbe(sHigh)
     sHigh.stop()
     // throughput = edge-visits per second per superstep (median superstep)
     val thruLow = 2.0 * e1 / (pr1 + cc1) * 2.0 // pr+cc medians -> avg
     val thruHigh = 2.0 * e2 / (pr2 + cc2) * 2.0
     val eff = (thruHigh / thruLow) / (nHigh.toDouble / nLow)
 
+    val cpuEff = (cpuLow / cpuHigh) / (nHigh.toDouble / nLow)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
       s"""{"n_cores_low":$nLow,"n_cores_high":$nHigh,"edges":$e1,""" +
         s""""supersteps_low":$ss1,"supersteps_high":$ss2,""" +
@@ -123,7 +156,20 @@ object Bench {
         s""""median_cc_superstep_sec_high":$cc2,""" +
         s""""edges_per_sec_per_superstep_low":$thruLow,""" +
         s""""edges_per_sec_per_superstep_high":$thruHigh,""" +
-        s""""efficiency":$eff}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+        s""""efficiency":$eff,""" +
+        s""""cpu_probe_sec_low":$cpuLow,"cpu_probe_sec_high":$cpuHigh,""" +
+        s""""cpu_probe_efficiency":$cpuEff}"""
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"sf":"$sfDir","scaling":$scaling}"""
+    // sbt prefixes forked-run stdout with "[info] ", which broke the
+    // driver's last-line JSON parse in round 1 ("parsed": null). Write a
+    // sidecar file AND print the bare line last (System.out directly).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")),
+      json + "\n")
+    System.out.println(json)
+    System.out.flush()
   }
 }

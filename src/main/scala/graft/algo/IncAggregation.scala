@@ -45,8 +45,15 @@ object IncAggregation {
       .select(col("preU").as("src"), col("preN").as("dst"),
         coalesce(col("weight"), lit(1.0)).as("weight"))
 
-    // 2. refined vertices re-seat their incident edges (lines 507-525)
+    // 2. refined vertices re-seat their incident edges (lines 507-525).
+    // Self-loops are handled in a separate branch: the symmetrized
+    // adjacency stores a self-loop as two identical rows, and the
+    // reference's dedup guard (`cur==pre || i<j`) drops BOTH when the
+    // vertex is refined-and-changed — which would lose the -w/+w
+    // re-seating of its self-loop entirely. Emit it exactly once instead
+    // (distinct collapses the two identical rows).
     val rAdj = adj
+      .where(col("src") =!= col("dst"))
       .join(refined.select(col("v").as("src")), Seq("src"), "left_semi")
       .join(preSrc, "src").join(preDst, "dst")
       .join(curSrc, "src").join(curDst, "dst")
@@ -55,10 +62,19 @@ object IncAggregation {
       negate(col("weight")).as("weight"))
     val posEdges = rAdj.select(col("curU").as("src"), col("curN").as("dst"),
       col("weight"))
+    val rLoop = adj.where(col("src") === col("dst")).distinct()
+      .join(refined.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(preSrc, "src")
+      .join(curSrc, "src")
+    val negLoops = rLoop.select(col("preU").as("src"), col("preU").as("dst"),
+      negate(col("weight")).as("weight"))
+    val posLoops = rLoop.select(col("curU").as("src"), col("curU").as("dst"),
+      col("weight"))
 
     // 3. compress (lines 533-546) — EdgeOps.compress is exactly it
     val deltaH = EdgeOps.compress(
-      deltaMapped.unionAll(negEdges).unionAll(posEdges), eps).ckpt
+      deltaMapped.unionAll(negEdges).unionAll(posEdges)
+        .unionAll(negLoops).unionAll(posLoops), eps).ckpt
 
     // 4. sPre' = sPre overridden by sCur on R (lines 527-531)
     val nextPre = sPre

@@ -55,13 +55,16 @@ object LabelPropagation {
       val best = msgs.groupBy("v")
         .agg(max_by(col("label"), struct(col("w"), negate(col("label"))))
           .as("newLabel"))
-      val next = labels.join(best, Seq("v"), "left")
-        .select(col("v"), coalesce(col("newLabel"), col("label")).as("label"))
+      // the previous label rides along through the checkpoint so the
+      // convergence check is a filter-count on the materialized table,
+      // not a second join job per round (same pattern as CC)
+      val stepped = labels.join(best, Seq("v"), "left")
+        .select(col("v"), col("label").as("old"),
+          coalesce(col("newLabel"), col("label")).as("label"))
         .ckpt
 
-      val changed = next.alias("n")
-        .join(labels.select(col("v"), col("label").as("old")), "v")
-        .where(col("label") =!= col("old")).count()
+      val changed = stepped.where(col("label") =!= col("old")).count()
+      val next = stepped.drop("old")
       sink.add(IterMetric("lpa", 0, it, messages = -1, movesAccepted = changed,
         frontier = -1, qualityDelta = 0.0,
         seconds = (System.nanoTime() - t0) / 1e9))

@@ -100,15 +100,33 @@ object Dedup {
     agg.select(col("id"), sim.as("simhash"))
   }
 
-  /** Hamming-close SimHash pairs via 4-piece pigeonhole LSH: near pairs
-    * (distance <= 3 per 16-bit piece guarantee) share at least one exact
-    * 16-bit piece — bucket-join on pieces, verify with bit_count. */
+  /** Hamming-close SimHash pairs via pigeonhole LSH: split the 64-bit
+    * hash into `maxHamming + 1` pieces — two hashes within `maxHamming`
+    * bit flips MUST agree exactly on at least one piece (pigeonhole), so
+    * bucket-joining on (piece index, piece value) has 100% recall; a
+    * bit_count verify drops false candidates. Piece count scales with the
+    * radius: small radii keep pieces wide (few, cheap buckets); beyond
+    * ~7 the pieces get narrow and buckets large — prefer radius <= 7 at
+    * scale. */
   def simhashNearPairs(docs: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = simhash(docs, textCol, idCol).localCheckpoint(true)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    nearPairsFromHashes(
+      simhash(docs, textCol, idCol).localCheckpoint(true), maxHamming)
+
+  /** Pigeonhole bucket-join over precomputed (id, simhash) rows — the
+    * testable core of [[simhashNearPairs]]. */
+  def nearPairsFromHashes(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val nPieces = maxHamming + 1
+    val base = 64 / nPieces // first pieces get an extra bit if 64 % nPieces
+    val extra = 64 % nPieces
+    // piece p covers bits [off(p), off(p)+width(p)) with widths summing 64
+    def off(p: Int): Int = p * base + math.min(p, extra)
+    def width(p: Int): Int = base + (if (p < extra) 1 else 0)
     val pieces = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(p =>
-        shiftright(col("simhash"), p * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nPieces).map { p =>
+        val mask = if (width(p) >= 64) -1L else (1L << width(p)) - 1
+        shiftrightunsigned(col("simhash"), off(p)).bitwiseAND(lit(mask))
+      }: _*)))
       .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
     val a = pieces.select(col("piece"), col("pval"), col("id").as("id_a"),
       col("simhash").as("s_a"))

@@ -62,8 +62,13 @@ object Engine {
     val st = readState(spark, root, cfg.runId, last)
     val sink = new MetricsSink
     val next = Incremental.update(st, delta, cfg.leiden, sink)
-    val q = Quality.modularity(next.canon,
-      next.assign.select(col("v"), col("community")))
+    // score the objective actually being optimized (cfg may select CPM)
+    val q =
+      if (cfg.leiden.useCpm)
+        Quality.cpm(next.canon,
+          next.assign.select(col("v"), col("community")), cfg.leiden.gamma)
+      else Quality.modularity(next.canon,
+        next.assign.select(col("v"), col("community")), cfg.leiden.gamma)
     val nComm = next.assign.select("community").distinct().count()
     val out = Outcome(next.assign.select(col("v"), col("community")), q,
       nComm, sink.totalIterations("leiden.movement"), sink.all,
@@ -96,11 +101,17 @@ object Engine {
   private def writeState(cfg: Config, st: Incremental.State,
       out: Outcome): Unit =
     cfg.checkpointRoot.foreach { root =>
-      val cp = new Checkpointer(root, cfg.runId)
-      cp.write(out.batch, st.assign, out.metrics, frontier = 0,
-        quality = out.quality)
+      // edges FIRST: Checkpointer.write renames MANIFEST.json and bumps
+      // LATEST — the documented commit point — so everything the batch
+      // needs on resume must already be durable when it runs. A crash
+      // before cp.write leaves an uncommitted (invisible) batch; a crash
+      // after leaves a complete one.
+      val edgeRows = st.canon.count()
       st.canon.write.mode("overwrite")
         .parquet(s"$root/${cfg.runId}/iter=${out.batch}/edges")
+      val cp = new Checkpointer(root, cfg.runId)
+      cp.write(out.batch, st.assign, out.metrics, frontier = 0,
+        quality = out.quality, edgeRows = edgeRows)
     }
 
   private def readState(spark: SparkSession, root: String, runId: String,

@@ -18,16 +18,20 @@ object Validate {
   final case class Outcome(ok: Boolean, reason: String)
 
   /** Hard invariants: every vertex exactly one community; community ids
-    * are member vertex ids (the non-dense analog of "id < node_count"). */
+    * are vertex ids of the graph (the non-dense analog of the reference's
+    * "id < node_count", invariants.rs:3-12). NOT "a current member's id":
+    * under BSP movement a founder vertex v can legitimately leave
+    * community v in the same sweep another vertex joins it — the
+    * algorithm only guarantees ids come from the vertex id space. */
   def invariants(assign: DataFrame): Outcome = {
     val n = assign.count()
     val distinctV = assign.select("v").distinct().count()
     if (n != distinctV)
       return Outcome(ok = false, s"duplicate assignments: $n rows, $distinctV vertices")
     val badIds = assign.select(col("community").as("v")).distinct()
-      .join(assign.select("v"), Seq("v"), "left_anti").count()
+      .join(assign.select("v").distinct(), Seq("v"), "left_anti").count()
     if (badIds != 0)
-      return Outcome(ok = false, s"$badIds community ids are not member vertex ids")
+      return Outcome(ok = false, s"$badIds community ids are not vertex ids")
     Outcome(ok = true, "ok")
   }
 

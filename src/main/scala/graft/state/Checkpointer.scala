@@ -25,7 +25,7 @@ final class Checkpointer(root: String, runId: String) {
 
   def write(iter: Int, assignment: DataFrame,
       metrics: Seq[graft.run.IterMetric], frontier: Long,
-      quality: Double): Unit = {
+      quality: Double, edgeRows: Long = -1L): Unit = {
     val spark = assignment.sparkSession
     import spark.implicits._
     val dir = iterDir(iter)
@@ -37,7 +37,7 @@ final class Checkpointer(root: String, runId: String) {
     val rows = assignment.count()
     val manifest =
       s"""{"run_id":"$runId","iter":$iter,"rows":$rows,""" +
-        s""""frontier":$frontier,"quality":$quality}"""
+        s""""edge_rows":$edgeRows,"frontier":$frontier,"quality":$quality}"""
     atomicWrite(s"$dir/MANIFEST.json", manifest)
     atomicWrite(s"$root/$runId/LATEST", iter.toString)
   }

@@ -59,6 +59,30 @@ class DedupTextAnnSpec extends SparkSpecBase {
     assert(!near.contains((1L, 3L)))
   }
 
+  test("simhash pigeonhole: 100% recall at every distance <= maxHamming") {
+    // plant hash pairs at EVERY distance 0..maxHamming, with the flipped
+    // bits spread maximally (the round-1 bug: 4 fixed 16-bit pieces missed
+    // pairs at distance 4..8 that differ in all four pieces)
+    val s = spark
+    import s.implicits._
+    val maxH = 8
+    val baseHash = 0x0123456789ABCDEFL
+    // pair k: id (2k, 2k+1); second hash flips k bits at positions 0, 8,
+    // 16, 24, ... (stride 8 spreads them across pieces)
+    val rows = (0 to maxH).flatMap { k =>
+      val flipped = (0 until k).foldLeft(baseHash + 1024L * k)(
+        (h, i) => h ^ (1L << (i * 8)))
+      Seq((2L * k, baseHash + 1024L * k), (2L * k + 1, flipped))
+    }
+    val sh = rows.toDF("id", "simhash")
+    val near = graft.dedup.Dedup.nearPairsFromHashes(sh, maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    (0 to maxH).foreach { k =>
+      assert(near.get((2L * k, 2L * k + 1)).contains(k),
+        s"pair at hamming $k missed: $near")
+    }
+  }
+
   test("text ops: token counts, quality, langid, fingerprint determinism") {
     val d = docs((1L, "the cat sat on the mat"),
       (2L, "der hund und die katze"), (3L, "zz"))

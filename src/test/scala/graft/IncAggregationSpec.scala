@@ -53,6 +53,30 @@ class IncAggregationSpec extends SparkSpecBase {
     assert(combined == after, s"combined=$combined after=$after dh=$dh")
   }
 
+  test("invariant holds with a self-loop on a refined-and-changed vertex") {
+    // aggregated supergraphs always carry self-loops; vertex 2 has one and
+    // is re-seated into subcommunity 1 — the -w/+w for (2,2) must be
+    // emitted exactly once (the symmetrized dedup guard drops both copies
+    // without the dedicated branch)
+    val canon = EdgeOps.compress(edges(
+      (0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 2L, 1.5), (1L, 1L, 0.5)))
+    val adj = EdgeOps.symmetrize(canon)
+    val sPre = mapping(0L -> 0L, 1L -> 1L, 2L -> 2L)
+    val sCur = mapping(0L -> 0L, 1L -> 1L, 2L -> 1L)
+    val s = spark
+    import s.implicits._
+    val refined = Seq(2L).toDF("v")
+    val (deltaH, nextPre) = IncAggregation(adj, edges(), sPre, sCur, refined)
+    val before = contract(canon, sPre)
+    val after = contract(canon, nextPre.select(col("v"), col("sc")))
+    val dh = deltaH.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val combined = (before.keySet ++ dh.keySet).map { k =>
+      k -> (before.getOrElse(k, 0.0) + dh.getOrElse(k, 0.0))
+    }.filter(kv => math.abs(kv._2) > 1e-9).toMap
+    assert(combined == after, s"combined=$combined after=$after dh=$dh")
+  }
+
   test("delta edges map through the previous mapping") {
     val canon = EdgeOps.compress(edges((0L, 1L, 1.0)))
     val adj = EdgeOps.symmetrize(canon)
