@@ -28,6 +28,13 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce shuffle partitions by SIZE, not default parallelism:
+      // iterative supersteps over modest per-stage data otherwise pay a
+      // fixed 32-microtask launch cost per job; big stages still fan out
+      // (bytes-based). Scale-agnostic.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)

@@ -30,12 +30,67 @@ object SparkEntry {
     "q_fingerprint" -> Queries.qFingerprint _,
     "q_ann_brute" -> Queries.qAnnBrute _,
     "q_ann_lsh" -> Queries.qAnnLsh _,
+    "q_modularity" -> Queries.qModularity _,
+    "q_cpm" -> Queries.qCpm _,
+    "q_media_meta" -> Queries.qMediaMeta _,
   )
 
   /** DuckDB-runnable oracles over the same parquet tables. Non-SQL-
-    * expressible ops (leiden, lpa) are omitted -> rows-only check. */
+    * expressible ops are omitted -> rows-only check: q_leiden (iterative
+    * heuristic), q_minhash_lsh / q_simhash_near / q_fingerprint /
+    * q_ann_lsh (xxhash64 has no DuckDB equivalent), q_media_meta
+    * (synthetic in-engine table). */
   def oracleSql: Map[String, String] = {
     val g = Queries.graphSqlPrelude
+
+    // occurrences of ` word ` in ` text ` — the exact arithmetic of
+    // TextOps.wordOccurrences (each non-overlapping replace of the
+    // (w+2)-char needle with a single space removes w+1 chars)
+    def ow(w: String): String =
+      s"CAST((length(' ' || text || ' ') - " +
+        s"length(regexp_replace(' ' || text || ' ', ' $w ', ' ', 'g'))) " +
+        s"/ ${w.length + 1} AS BIGINT)"
+    def owSum(ws: Seq[String]): String = ws.map(ow).mkString(" + ")
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "de" -> Seq("der", "und", "die", "ist"),
+      "fr" -> Seq("le", "la", "et", "est"),
+      "es" -> Seq("el", "los", "y", "es"),
+      "zh" -> Seq("de", "shi", "zai", "he"))
+
+    // one synchronous weighted-LPA round: argmax neighbor-label weight,
+    // ties to the smallest label (TextOps counterpart: Queries.qLpa)
+    def lpaIter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT v, label FROM (
+         |    SELECT a.src AS v, l.label,
+         |      row_number() OVER (PARTITION BY a.src
+         |        ORDER BY sum(a.weight) DESC, l.label ASC) AS rn
+         |    FROM adj a JOIN $prev l ON a.dst = l.v
+         |    GROUP BY a.src, l.label
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+
+    // connected components + the shared quality-prelude (modularity/CPM
+    // are two aggregations over exact-integer sums, so the doubles are
+    // bit-reproducible between Spark and DuckDB)
+    val ccPrelude =
+      s"""$g,
+         |reach(v, r) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT a.dst, re.r FROM reach re JOIN adj a ON a.src = re.v
+         |),
+         |comp AS (SELECT v, min(r) AS c FROM reach GROUP BY v),
+         |mm AS (SELECT sum(weight) AS m FROM canon),
+         |win AS (
+         |  SELECT coalesce(sum(e.weight), 0.0) AS w
+         |  FROM canon e
+         |  JOIN comp a ON a.v = e.src
+         |  JOIN comp b ON b.v = e.dst
+         |  WHERE a.c = b.c
+         |)""".stripMargin
+
     Map(
       "q_degree" ->
         s"""WITH $g
@@ -148,6 +203,103 @@ object SparkEntry {
           |        - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
           |        AS DOUBLE) / length(text), 4) AS punct_ratio
           |FROM documents""".stripMargin,
+
+      "q_langid" -> {
+        val occ = markers.map { case (lang, ws) =>
+          s"SELECT doc_id, '$lang' AS lang, ${owSum(ws)} AS n FROM documents"
+        }.mkString("\nUNION ALL ")
+        s"""WITH occ AS (
+           |$occ
+           |),
+           |best AS (
+           |  SELECT doc_id, lang, n,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY n DESC, lang DESC) AS rn
+           |  FROM occ
+           |)
+           |SELECT doc_id,
+           |  CASE WHEN n > 0 THEN lang ELSE 'und' END AS lang_guess
+           |FROM best WHERE rn = 1""".stripMargin
+      },
+
+      "q_quality" ->
+        s"""WITH s AS (
+           |  SELECT doc_id, text,
+           |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+           |         AS DOUBLE) AS ntok,
+           |    ${owSum(Seq("the", "a"))} AS stopn
+           |  FROM documents
+           |),
+           |c AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ntok < 5 THEN ntok / 5.0
+           |         WHEN ntok > 1000 THEN 0.5 ELSE 1.0 END AS len_score,
+           |    CASE WHEN (CAST(length(text) AS DOUBLE) / greatest(ntok, 1.0))
+           |           BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.6 END AS word_score,
+           |    least(CAST(stopn AS DOUBLE) / greatest(ntok, 1.0) * 5.0,
+           |          1.0) AS stop_score,
+           |    length(regexp_replace(text, '[a-zA-Z0-9]+', 'x', 'g')) AS nsub
+           |  FROM s
+           |)
+           |SELECT doc_id,
+           |  round(len_score * 0.4 + word_score * 0.3 + stop_score * 0.3, 4)
+           |    AS quality,
+           |  CAST(nsub AS BIGINT) AS n_subwords
+           |FROM c""".stripMargin,
+
+      "q_ann_brute" ->
+        """WITH q AS (
+          |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id < 10
+          |),
+          |c AS (
+          |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings
+          |),
+          |scored AS (
+          |  SELECT q.id AS query_id, c.id AS neighbor_id,
+          |    list_dot_product(q.v, c.v) /
+          |      (sqrt(list_dot_product(q.v, q.v)) *
+          |       sqrt(list_dot_product(c.v, c.v))) AS cos
+          |  FROM q, c WHERE q.id <> c.id
+          |),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+          |  FROM scored
+          |)
+          |SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+          |  CAST(rank AS INT) AS rank
+          |FROM ranked WHERE rank <= 5""".stripMargin,
+
+      "q_lpa" -> {
+        val iters = (1 to 10).map(i => lpaIter(s"l${i - 1}", s"l$i"))
+          .mkString(",\n")
+        s"""WITH $g,
+           |l0 AS (SELECT v, v AS label FROM verts),
+           |$iters
+           |SELECT v, label FROM l10""".stripMargin
+      },
+
+      "q_modularity" ->
+        s"""WITH RECURSIVE $ccPrelude,
+           |deg AS (SELECT src AS v, sum(weight) AS d FROM adj GROUP BY 1),
+           |cdeg AS (
+           |  SELECT a.c, sum(d.d) AS cd
+           |  FROM deg d JOIN comp a ON a.v = d.v GROUP BY 1
+           |),
+           |ss AS (SELECT sum(cd * cd) AS ss FROM cdeg)
+           |SELECT round(win.w / mm.m - ss.ss / (4.0 * mm.m * mm.m), 6)
+           |  AS modularity
+           |FROM win, mm, ss""".stripMargin,
+
+      "q_cpm" ->
+        s"""WITH RECURSIVE $ccPrelude,
+           |sz AS (SELECT c, count(*) AS n FROM comp GROUP BY 1),
+           |pairs AS (SELECT sum(n * (n - 1) / 2) AS p FROM sz)
+           |SELECT round(win.w - 1.0 * pairs.p, 6) AS cpm
+           |FROM win, pairs""".stripMargin,
     )
   }
 }

@@ -45,12 +45,13 @@ import graft.run.{IterMetric, MetricsSink}
   *   - movement supersteps are capped (cfg.maxSweeps); the reference's
   *     `while any active` loop (hit_leiden.rs:202) has no cap and can
   *     oscillate under stale snapshots.
-  *   - movement applies only a deterministic hash-parity half of the
-  *     positive-gain moves per superstep (gated movers stay in the
-  *     frontier). Under stale snapshots two adjacent vertices can
-  *     otherwise swap communities forever (e.g. a single edge between two
-  *     singletons never merges); gating breaks the symmetry while staying
-  *     deterministic and parallelism-independent.
+  *   - movement gates only movers that would REVERT to the community
+  *     they sat in before the previous barrier — the signature of every
+  *     period-2 oscillation under stale snapshots (pairwise A<->B swaps
+  *     and density-driven toggles alike): reverting movers apply only on
+  *     a sweep-salted deterministic hash parity, all other positive-gain
+  *     moves apply immediately. Deterministic, parallelism-independent,
+  *     and the sweep salt breaks a surviving cycle within a few sweeps.
   */
 object Leiden {
 
@@ -72,7 +73,23 @@ object Leiden {
         * sort-merge skew, but the gather is a shuffled-hash join, which
         * AQE does not split. */
       saltFactor: Int = 0,
-      hotDegree: Double = 1e6)
+      hotDegree: Double = 1e6,
+      /** once a level's edge count is at or below this, collect it and
+        * finish the hierarchy with the sequential deterministic solver
+        * ([[LocalLeiden]]) — after one or two contractions a 100 TB
+        * graph's supergraph has a few thousand vertices, and driving
+        * dozens of fixed-cost distributed jobs against it is pure
+        * overhead. 0 disables. */
+      localSolveEdges: Long = 20000,
+      /** never local-solve below this level (level 0 = the base graph
+        * stays distributed regardless of size). */
+      localSolveMinLevel: Int = 1,
+      /** movement/refinement stop once a sweep's total applied gain (in
+        * modularity units; scaled by m for CPM) falls below this — the
+        * long tail of epsilon-gain churn costs a fixed-overhead Spark job
+        * per sweep and contributes nothing against the reference's own
+        * 0.001 quality-equivalence policy (equivalence.rs:21-27). */
+      minSweepGain: Double = 1e-4)
 
   private[algo] def parts(df: DataFrame, cfg: Config): Int =
     if (cfg.numPartitions > 0) cfg.numPartitions
@@ -124,6 +141,23 @@ object Leiden {
     var done = false
 
     while (!done && level < cfg.maxLevels) {
+      // top-of-hierarchy local solve: once the (super)graph is small the
+      // sequential deterministic solver finishes the hierarchy in one
+      // driver-side call instead of dozens of fixed-cost Spark jobs
+      if (cfg.localSolveEdges > 0 && level >= cfg.localSolveMinLevel &&
+          canon.count() <= cfg.localSolveEdges) {
+        val es = canon.select("src", "dst", "weight").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val szM = carriedSize.map(_.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap).getOrElse(Map.empty)
+        val cmM = carriedComm.map(_.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap).getOrElse(Map.empty)
+        val local = LocalLeiden.solve(es, szM, cmM, cfg)
+        val spark = canon.sparkSession
+        import spark.implicits._
+        topAssign = local.toSeq.toDF("v", "community")
+        done = true
+      } else {
       val adj = EdgeOps.partitionBySrc(EdgeOps.symmetrize(canon),
         parts(canon, cfg)).ckpt
       val deg = EdgeOps.degrees(adj).ckpt
@@ -180,6 +214,7 @@ object Leiden {
         canon = superCanon
         level += 1
       }
+      } // else (distributed level)
     }
 
     // compose s_0 .. s_{L-1} then the top level's community — the batch
@@ -225,13 +260,19 @@ object Leiden {
     val sz = nodeSize.getOrElse(
       assign.select(col("v"), lit(1L).as("size"))).select("v", "size")
     var a = assign
+    // assignment before the last applied barrier — the revert-gating
+    // reference point
+    var aPrev: Option[DataFrame] = None
     var active = active0.select(col("v")).ckpt
     var changed = Seq.empty[Long].toDF("v")
     var affected = Seq.empty[Long].toDF("v")
     var sweep = 0
     var totalMoves = 0L
     var frontierN = active.count()
+    if (frontierN == 0) // empty delta activation: nothing to do
+      return MovementOut(a, changed, affected, 0, 0L)
     val nVerts = a.count()
+    val avgDeg = adj.count().toDouble / math.max(nVerts, 1L)
 
     // stale snapshot of community degrees and sizes (throughput.rs:62-166),
     // computed from the full assignment ONCE and then maintained
@@ -320,21 +361,46 @@ object Leiden {
         .where(col("gain") > 0)
 
       // deterministic argmax: best gain, ties to the smallest community id
-      // (reference deterministic.rs tie policy)
-      val wantMoves = cand.groupBy(col("src").as("v"))
-        .agg(max_by(col("nbrComm"),
-          struct(col("gain"), negate(col("nbrComm")))).as("newComm"))
-        .ckpt
+      // (reference deterministic.rs tie policy). The payload struct
+      // carries the mover's degree/size/old community so the community-
+      // stat delta below is a pure projection of this table — no joins.
+      val want0 = cand.groupBy(col("src").as("v"))
+        .agg(max_by(
+          struct(col("nbrComm").as("newComm"), col("curComm").as("oldComm"),
+            col("dv"), col("szv"), col("gain")),
+          struct(col("gain"), negate(col("nbrComm")))).as("m"))
+        .select(col("v"), col("m.newComm"), col("m.oldComm"), col("m.dv"),
+          col("m.szv"), col("m.gain"))
 
-      // hash-parity gating (see scaladoc): apply a deterministic half now,
-      // keep the gated half in the frontier for the next superstep
+      // revert-gating (see scaladoc): a mover heading back to the
+      // community it sat in BEFORE the previous sweep's barrier is in a
+      // period-2 oscillation (pairwise swaps AND density-driven toggles
+      // both look exactly like this); it applies only on a sweep-salted
+      // hash parity. Everyone else moves immediately. One V-sized join
+      // folded into the same job as the gather — no extra action.
       val parity = pmod(xxhash64(col("v"), lit(sweep)), lit(2))
-      val counts = wantMoves.groupBy(parity.as("p")).count().collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val nWant = counts.values.sum
-      val nMoves = counts.getOrElse(0L, 0L)
-      val moves = wantMoves.where(parity === 0)
-      val gated = wantMoves.where(parity === 1).select("v")
+      val wantMoves = (aPrev match {
+        case None => want0.withColumn("gated", lit(false))
+        case Some(p) => want0
+          .join(p.select(col("v"), col("community").as("prevComm")),
+            Seq("v"), "left")
+          .withColumn("gated",
+            col("prevComm") === col("newComm") && parity === 1)
+          .drop("prevComm")
+      }).ckpt
+
+      val counts = wantMoves.groupBy(col("gated"))
+        .agg(count(lit(1)).as("n"), sum("gain").as("g")).collect()
+        .map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val nWant = counts.values.map(_._1).sum
+      val nMoves = counts.get(false).map(_._1).getOrElse(0L)
+      // total gain the applied moves claim under the stale snapshot —
+      // approximately the sweep's quality improvement
+      val gainApplied = counts.get(false).map(_._2).getOrElse(0.0)
+      val gainFloor =
+        if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0) else cfg.minSweepGain
+      val moves = wantMoves.where(!col("gated"))
+      val gated = wantMoves.where(col("gated")).select("v")
 
       if (nWant == 0) {
         sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
@@ -356,38 +422,29 @@ object Leiden {
             col("subcomm"))
           .ckpt
 
-        // incremental community-degree/size update from the applied moves
-        val mvDeg = moves
-          .join(a.select(col("v"), col("community").as("oldComm")), "v")
-          .join(deg.select(col("v"), col("deg").as("dv")), "v")
-          .join(sz.select(col("v"), col("size").as("szv")), "v")
-        val cdegDelta = mvDeg.select(explode(array(
+        // incremental community-degree/size update: a pure projection of
+        // the applied moves (old community, degree and size ride in the
+        // argmax payload — zero joins here)
+        val cdegDelta = moves.select(explode(array(
           struct(col("oldComm").as("community"), negate(col("dv")).as("d"),
             negate(col("szv")).as("s")),
           struct(col("newComm").as("community"), col("dv").as("d"),
             col("szv").as("s")))).as("x"))
           .select(col("x.community"), col("x.d"), col("x.s"))
           .groupBy("community").agg(sum("d").as("d"), sum("s").as("s"))
-        commDeg = commDeg.join(cdegDelta, Seq("community"), "full")
+        val cdUpd = commDeg.join(cdegDelta, Seq("community"), "full")
           .select(col("community"),
             (coalesce(col("cdeg"), lit(0.0)) + coalesce(col("d"), lit(0.0)))
               .as("cdeg"),
             (coalesce(col("csize"), lit(0L)) + coalesce(col("s"), lit(0L)))
               .as("csize"))
-          .ckpt
+        // materialize only every 4th sweep: the delta chain is a stack of
+        // tiny-table joins, cheap to replay, and each ckpt is a whole
+        // fixed-cost job
+        commDeg = if (sweep % 4 == 3) cdUpd.ckpt else cdUpd
 
-        // next frontier: gated movers plus neighbors of applied movers now
-        // in a different community (hit_leiden.rs:270-273, post-barrier)
         val mvEdges = moves.select(col("v").as("src"), col("newComm"))
           .join(adj, "src")
-        val nextActive = mvEdges
-          .join(aNew.select(col("v").as("dst"), col("community").as("dcomm")),
-            "dst")
-          .where(col("dcomm") =!= col("newComm"))
-          .select(col("dst").as("v"))
-          .unionAll(gated)
-          .distinct()
-          .ckpt
 
         // K: mover and neighbor sharing a (pre-move) subcommunity
         // (hit_leiden.rs:274-277)
@@ -403,11 +460,38 @@ object Leiden {
         changed = changed.unionAll(moves.select("v"))
         affected = affected.unionAll(newAffected)
         sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
-          movesAccepted = nMoves, frontier = frontierN, qualityDelta = 0.0,
+          movesAccepted = nMoves, frontier = frontierN,
+          qualityDelta = gainApplied,
           seconds = (System.nanoTime() - t0) / 1e9))
+        aPrev = Some(a)
         a = aNew
-        active = nextActive
-        frontierN = active.count()
+
+        if (gainApplied < gainFloor && counts.get(true).forall(_._2 < gainFloor)) {
+          // epsilon-gain tail: every further sweep costs fixed job
+          // overhead for quality movement far inside the reference's
+          // 0.001 equivalence band — stop here
+          frontierN = 0
+        } else if (nMoves * avgDeg >= 0.8 * nVerts) {
+          // dense re-activation: the precise next frontier would cover
+          // most of the graph anyway — skip the extra job and run the
+          // next sweep over everyone (the gather skips its semi-join on
+          // a full frontier)
+          active = a.select("v")
+          frontierN = nVerts
+        } else {
+          // next frontier: gated movers plus neighbors of applied movers
+          // now in a different community (hit_leiden.rs:270-273)
+          val nextActive = mvEdges
+            .join(a.select(col("v").as("dst"), col("community").as("dcomm")),
+              "dst")
+            .where(col("dcomm") =!= col("newComm"))
+            .select(col("dst").as("v"))
+            .unionAll(gated)
+            .distinct()
+            .ckpt
+          active = nextActive
+          frontierN = active.count()
+        }
       }
       sweep += 1
     }
@@ -475,12 +559,14 @@ object Leiden {
     while (moved > 0 && round < cfg.maxRefineRounds) {
       val t0 = System.nanoTime()
       // scn = member count at this level (the singleton test is on level
-      // vertices, hit_leiden.rs:420); scbase = total base vertices (CPM)
-      val scSizes = a.join(sz, "v").groupBy("subcomm")
-        .agg(count(lit(1)).as("scn"), sum("size").as("scbase"))
+      // vertices, hit_leiden.rs:420); scbase = total base vertices (CPM);
+      // scdeg = total weighted degree — all three in ONE aggregation job
+      val scStats = a.join(sz, "v").join(deg, "v").groupBy("subcomm")
+        .agg(count(lit(1)).as("scn"), sum("size").as("scbase"),
+          sum("deg").as("scdeg"))
         .ckpt
-      val scDeg = a.join(deg, "v").groupBy("subcomm")
-        .agg(sum("deg").as("scdeg")).ckpt
+      val scSizes = scStats.select("subcomm", "scn", "scbase")
+      val scDeg = scStats.select("subcomm", "scdeg")
 
       val singles = a.join(refined, Seq("v"), "left_semi")
         .join(scSizes.where(col("scn") === 1).select("subcomm"),
@@ -526,10 +612,13 @@ object Leiden {
         .where(col("scn") > 1 || col("nSc") < col("mySc"))
 
       val moves = cand.groupBy(col("src").as("v"))
-        .agg(max_by(col("nSc"), struct(col("gain"), negate(col("nSc"))))
-          .as("newSc"))
+        .agg(max_by(struct(col("nSc").as("newSc"), col("gain")),
+          struct(col("gain"), negate(col("nSc")))).as("m"))
+        .select(col("v"), col("m.newSc").as("newSc"), col("m.gain").as("gain"))
         .ckpt
-      moved = moves.count()
+      val mstats = moves.agg(count(lit(1)), sum("gain")).collect()(0)
+      moved = mstats.getLong(0)
+      val gSum = if (mstats.isNullAt(1)) 0.0 else mstats.getDouble(1)
       if (moved > 0) {
         a = a.join(moves, Seq("v"), "left")
           .select(col("v"), col("community"),
@@ -537,9 +626,14 @@ object Leiden {
           .ckpt
       }
       sink.add(IterMetric("leiden.refinement", level, round, messages = -1,
-        movesAccepted = moved, frontier = -1, qualityDelta = 0.0,
+        movesAccepted = moved, frontier = -1, qualityDelta = gSum,
         seconds = (System.nanoTime() - t0) / 1e9))
       round += 1
+      // same epsilon-gain stop as movement: the applied merges are kept,
+      // but a further fixed-cost round isn't worth < minSweepGain quality
+      val gainFloor =
+        if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0) else cfg.minSweepGain
+      if (gSum < gainFloor) moved = 0
     }
     RefinementOut(a, refined, round)
   }

@@ -29,8 +29,13 @@ object Ann {
     * queries/corpus: (id, vec). Output: (query_id, neighbor_id, cos, rank).
     */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    // vectors cast to double BEFORE any arithmetic: float-precision
+    // products would diverge from a double-computing SQL oracle (and
+    // double accumulation is the right numeric choice anyway)
+    val q = queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cv"))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -38,6 +43,8 @@ object Ann {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** Deterministic random-hyperplane signature: `planes` sign bits, plane
@@ -66,7 +73,8 @@ object Ann {
     val r = planes / bands
     val mask = (1L << r) - 1
     def withBuckets(df: DataFrame, idName: String, vecName: String) =
-      df.select(col("id").as(idName), col("vec").as(vecName),
+      df.select(col("id").as(idName),
+        col("vec").cast("array<double>").as(vecName),
         rhpSignature(col("vec"), dim, planes, seed).as("sig"))
         .select(col(idName), col(vecName),
           posexplode(array((0 until bands).map(b =>

@@ -26,6 +26,9 @@ object IncBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
       .config("spark.local.dir",

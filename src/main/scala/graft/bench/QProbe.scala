@@ -14,6 +14,10 @@ object QProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")

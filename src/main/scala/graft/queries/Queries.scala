@@ -73,6 +73,37 @@ object Queries {
   def qTrianglesPerVertex(spark: SparkSession, dir: String): DataFrame =
     TriangleCount.perVertex(lineitemGraph(spark, dir))
 
+  /** Modularity of the connected-components partition — oracle-verifiable
+    * quality scoring (two aggregations over exact-integer sums, so the
+    * value is bit-reproducible against SQL). */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val g = lineitemGraph(spark, dir)
+    val canon = EdgeOps.compress(g)
+    val assign = ConnectedComponents.run(g).components
+      .select(col("v"), col("component").as("community"))
+    val q = Quality.modularity(canon, assign)
+    import spark.implicits._
+    Seq(q).toDF("q").select(round(col("q"), 6).as("modularity"))
+  }
+
+  /** CPM quality of the connected-components partition (gamma = 1). */
+  def qCpm(spark: SparkSession, dir: String): DataFrame = {
+    val g = lineitemGraph(spark, dir)
+    val canon = EdgeOps.compress(g)
+    val assign = ConnectedComponents.run(g).components
+      .select(col("v"), col("component").as("community"))
+    val q = Quality.cpm(canon, assign)
+    import spark.implicits._
+    Seq(q).toDF("q").select(round(col("q"), 6).as("cpm"))
+  }
+
+  /** Multimodal metadata decode over the deterministic synthetic media
+    * table (no external data; the codec is a documented stub — the Spark
+    * plumbing is what this exercises). Rows-only driver check. */
+  def qMediaMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeMeta(
+      graft.multimodal.Multimodal.synthMedia(spark, 512)).toDF()
+
   // --- training-data pipeline queries over `documents` -------------------
 
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =

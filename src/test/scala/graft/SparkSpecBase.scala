@@ -11,6 +11,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       // localCheckpoint leaves have no stats; the Long.MaxValue default
       // makes Catalyst's multiplicative join-size estimates blow up into
       // huge BigInts on iterative plans
