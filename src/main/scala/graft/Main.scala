@@ -8,9 +8,13 @@ import graft.graph.EdgeOps
 /** spark-submit entry point — the analog of the reference CLI
   * (/root/reference/src/cli/options.rs:4-17, run.rs:6-37):
   *
-  *   spark-submit --class graft.Main app.jar run    <edges.parquet> <ckptRoot> [gamma] [maxLevels]
-  *   spark-submit --class graft.Main app.jar update <delta.parquet> <ckptRoot> [gamma] [maxLevels]
+  *   spark-submit --class graft.Main app.jar run    <edges.parquet> <ckptRoot> [gamma] [maxLevels] [mode]
+  *   spark-submit --class graft.Main app.jar update <delta.parquet> <ckptRoot> [gamma] [maxLevels] [mode]
   *   spark-submit --class graft.Main app.jar resume <ckptRoot>
+  *
+  * mode: throughput (default) | deterministic — the reference's two
+  * RunModes (config.rs); deterministic runs the sequential exact-identity
+  * solver and requires the graph to fit on the driver.
   *
   * Edge parquet schema: (src LONG, dst LONG, weight DOUBLE nullable).
   * Prints a one-line JSON outcome (run id, quality, community count,
@@ -31,7 +35,8 @@ object Main {
       leiden = Leiden.Config(
         gamma = rest.lift(0).map(_.toDouble).getOrElse(1.0),
         maxLevels = rest.lift(1).map(_.toInt).getOrElse(10)),
-      checkpointRoot = Some(root), runId = "run-0")
+      checkpointRoot = Some(root), runId = "run-0",
+      mode = rest.lift(2).getOrElse("throughput"))
 
     val out = args(0) match {
       case "run" =>

@@ -39,9 +39,12 @@ object IncAggregation {
     val curSrc = sCur.select(col("v").as("src"), col("sc").as("curU"))
     val curDst = sCur.select(col("v").as("dst"), col("sc").as("curN"))
 
-    // 1. delta edges mapped through the previous mapping (lines 499-504)
-    val deltaMapped = delta
-      .join(preSrc, "src").join(preDst, "dst")
+    // 1. delta edges mapped through the previous mapping (lines 499-504).
+    // Delta-bound shapes throughout: the (small) delta/refined sides are
+    // broadcast-built, so the V-sized mapping tables stream map-side and
+    // are never shuffled.
+    val deltaMapped = broadcast(broadcast(delta).join(preSrc, "src"))
+      .join(preDst, "dst")
       .select(col("preU").as("src"), col("preN").as("dst"),
         coalesce(col("weight"), lit(1.0)).as("weight"))
 
@@ -52,19 +55,25 @@ object IncAggregation {
     // vertex is refined-and-changed — which would lose the -w/+w
     // re-seating of its self-loop entirely. Emit it exactly once instead
     // (distinct collapses the two identical rows).
-    val rAdj = adj
+    val rAdj0 = adj
       .where(col("src") =!= col("dst"))
-      .join(refined.select(col("v").as("src")), Seq("src"), "left_semi")
-      .join(preSrc, "src").join(preDst, "dst")
-      .join(curSrc, "src").join(curDst, "dst")
+      .join(broadcast(refined.select(col("v").as("src"))), Seq("src"),
+        "left_semi")
+    val rAdj = broadcast(broadcast(broadcast(broadcast(rAdj0)
+      .join(preSrc, "src"))
+      .join(preDst, "dst"))
+      .join(curSrc, "src"))
+      .join(curDst, "dst")
       .where(col("curN") === col("preN") || col("src") < col("dst"))
     val negEdges = rAdj.select(col("preU").as("src"), col("preN").as("dst"),
       negate(col("weight")).as("weight"))
     val posEdges = rAdj.select(col("curU").as("src"), col("curN").as("dst"),
       col("weight"))
-    val rLoop = adj.where(col("src") === col("dst")).distinct()
-      .join(refined.select(col("v").as("src")), Seq("src"), "left_semi")
-      .join(preSrc, "src")
+    val rLoop = broadcast(broadcast(
+      adj.where(col("src") === col("dst")).distinct()
+        .join(broadcast(refined.select(col("v").as("src"))), Seq("src"),
+          "left_semi"))
+      .join(preSrc, "src"))
       .join(curSrc, "src")
     val negLoops = rLoop.select(col("preU").as("src"), col("preU").as("dst"),
       negate(col("weight")).as("weight"))
@@ -76,13 +85,14 @@ object IncAggregation {
       deltaMapped.unionAll(negEdges).unionAll(posEdges)
         .unionAll(negLoops).unionAll(posLoops), eps).ckpt
 
-    // 4. sPre' = sPre overridden by sCur on R (lines 527-531)
+    // 4. sPre' = sPre overridden by sCur on R (lines 527-531). Returned
+    // LAZY: when R = {v: sCur != sPre} (the live-path contract) this
+    // equals sCur and callers use that directly.
     val nextPre = sPre
-      .join(refined.withColumn("_r", lit(1)), Seq("v"), "left")
+      .join(broadcast(refined.withColumn("_r", lit(1))), Seq("v"), "left")
       .join(sCur.select(col("v"), col("sc").as("scCur")), "v")
       .select(col("v"),
         when(col("_r").isNotNull, col("scCur")).otherwise(col("sc")).as("sc"))
-      .ckpt
     (deltaH, nextPre)
   }
 

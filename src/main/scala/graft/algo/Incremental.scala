@@ -13,26 +13,76 @@ import graft.run.MetricsSink
   * Delta convention matches the reference (signed weight: alpha > 0
   * insert, alpha < 0 delete — /root/reference/src/core/algorithm/
   * hit_leiden.rs:167-180). Delta activation seeds the movement frontier
-  * exactly as inc_movement's first loop (hit_leiden.rs:166-186):
-  *   - inserted cross-community edge endpoints and deleted intra-community
-  *     edge endpoints become *active* (A);
-  *   - endpoints sharing a subcommunity become *refinement-affected* (K).
+  * exactly as inc_movement's first loop (hit_leiden.rs:166-186).
   *
-  * Scope note: the reference's public run() always executes a single
-  * hierarchy level (PartitionState::identity sets levels = 1,
-  * /root/reference/src/core/partition/state.rs:19-33), so its
-  * inc_aggregation/def_update machinery is never exercised end-to-end.
-  * We implement the level-0 incremental contract faithfully and rebuild
-  * upper levels from the (small) aggregated supergraph via the cold path
-  * when hierarchy is requested — the supergraph is orders of magnitude
-  * smaller than the base graph, so this preserves the incremental win
-  * where it matters (the base-level movement/refinement over a frontier).
+  * Per-batch cost is bound by the DELTA, not the graph:
+  *
+  *  - graph state (canonical edges, degrees, total weight, the level-1
+  *    supergraph) is maintained by [[EdgeOps.mergeDelta]]-style broadcast
+  *    merges and arithmetic patches — no full-table shuffle anywhere;
+  *  - movement/refinement are frontier-limited (and their per-sweep
+  *    gathers broadcast the frontier, [[Leiden.movement]]);
+  *  - the supergraph is maintained through the reference's own delta
+  *    machinery: [[IncAggregation.apply]] (hit_leiden.rs:487-563) emits
+  *    a signed supergraph delta from the batch + the refinement
+  *    re-seatings, merged into the live supergraph;
+  *  - upper levels re-solve over that (orders-of-magnitude smaller)
+  *    supergraph, finishing locally once it fits
+  *    ([[Leiden.Config.localSolveEdges]]).
+  *
+  * The remaining per-batch O(V) work (assignment carry, the supernode
+  * community seed aggregation) is over the VERTEX table, which at link-
+  * graph scale is far smaller than the edge table; at petabyte scale
+  * both canon and assignment live as bucketed tables and these become
+  * bucket-pruned merges too.
   */
 object Incremental {
 
-  /** Persistent engine state between batches. `canon` is the live
-    * canonical edge table; `assign` = (v, community, subcomm). */
-  final case class State(canon: DataFrame, assign: DataFrame, m2: Double)
+  /** Persistent engine state between batches.
+    *
+    * @param canon  live canonical edge table (level 0)
+    * @param assign (v, community, subcomm) for every vertex
+    * @param m2     cached 2 * total weight
+    * @param deg    (v, deg) weighted degrees (nullable: derived on demand)
+    * @param superCanon live level-1 supergraph = contract(canon, subcomm)
+    *   (nullable: derived on demand — e.g. after resume from checkpoint)
+    * @param maxId  id watermark for fresh subcommunity allocation
+    *   (largest-component-keeps-id splits allocate above it)
+    */
+  final case class State(canon: DataFrame, assign: DataFrame, m2: Double,
+      deg: DataFrame = null, superCanon: DataFrame = null,
+      maxId: Long = Long.MinValue)
+
+  /** Fill derivable fields absent after a resume or an old-format call:
+    * degrees, the live supergraph (contract by subcomm — the invariant
+    * superCanon == contract(canon, assign.subcomm) holds at every batch
+    * boundary) and the id watermark. */
+  def hydrate(st: State, eps: Double = 1e-9): State = {
+    val deg =
+      if (st.deg != null) st.deg
+      else EdgeOps.degrees(EdgeOps.symmetrize(st.canon)).ckpt
+    val sup =
+      if (st.superCanon != null) st.superCanon
+      else contractBySubcomm(st.canon, st.assign, eps).ckpt
+    val maxId =
+      if (st.maxId != Long.MinValue) st.maxId
+      else {
+        val r = st.assign
+          .agg(greatest(max("v"), max("community"), max("subcomm"))).collect()
+        if (r.isEmpty || r(0).isNullAt(0)) 0L else r(0).getLong(0)
+      }
+    st.copy(deg = deg, superCanon = sup, maxId = maxId)
+  }
+
+  private def contractBySubcomm(canon: DataFrame, assign: DataFrame,
+      eps: Double): DataFrame = {
+    val sc = assign.select(col("v"), col("subcomm"))
+    EdgeOps.compress(canon
+      .join(sc.select(col("v").as("src"), col("subcomm").as("scu")), "src")
+      .join(sc.select(col("v").as("dst"), col("subcomm").as("scv")), "dst")
+      .select(col("scu").as("src"), col("scv").as("dst"), col("weight")),
+      eps)
+  }
 
   def initial(edges: DataFrame, cfg: Leiden.Config = Leiden.Config(),
       sink: MetricsSink = MetricsSink.discard): State = {
@@ -41,86 +91,170 @@ object Incremental {
     val verts = EdgeOps.vertices(canon)
     val init = verts.select(col("v"), col("v").as("community"),
       col("v").as("subcomm")).ckpt
-    if (m2 == 0.0) return State(canon, init, 0.0)
+    if (m2 == 0.0) return hydrate(State(canon, init, 0.0), cfg.eps)
     val adj = EdgeOps.symmetrize(canon).ckpt
     val deg = EdgeOps.degrees(adj).ckpt
     val mv = Leiden.movement(adj, deg, m2, init, verts, cfg, sink, 0)
     val ref = Leiden.refinement(adj, deg, m2, mv.assign, verts, cfg, sink, 0,
       isInitial = true)
-    State(canon, resolveHierarchy(canon, ref.assign, cfg, sink), m2)
+    val assign = resolveSuper(
+      contractBySubcomm(canon, ref.assign, cfg.eps).ckpt,
+      ref.assign, cfg, sink)
+    hydrate(State(canon, assign, m2, deg = deg), cfg.eps)
   }
 
-  /** Contract subcommunities and solve the (orders-of-magnitude smaller)
-    * supergraph with full hierarchical Leiden, then compose back: the
-    * base level stays frontier-limited while upper levels — which the
-    * reference's single-level public run() never maintains — are re-solved
-    * from scratch each batch at supergraph size. Returns the new
-    * (v, community, subcomm) assignment. */
-  private def resolveHierarchy(canon: DataFrame, assign: DataFrame,
+  /** Solve the (small) supergraph with the carried communities as the
+    * seed and compose the result back onto the base assignment. A batch
+    * can only refine the partition, never regress below it — but
+    * movement only moves vertices toward *neighbor* communities
+    * (hit_leiden.rs:234-240), so a community a deletion internally
+    * disconnected would never split on its own: enforce Leiden's
+    * connectivity guarantee on the seed first by replacing each carried
+    * community with its connected components on the supergraph. */
+  private def resolveSuper(superCanon: DataFrame, assign: DataFrame,
       cfg: Leiden.Config, sink: MetricsSink): DataFrame = {
-    val scMap = assign.select(col("v"), col("subcomm"))
-    val superEdges = canon
-      .join(scMap.select(col("v").as("src"), col("subcomm").as("scu")), "src")
-      .join(scMap.select(col("v").as("dst"), col("subcomm").as("scv")), "dst")
-      .select(least(col("scu"), col("scv")).as("src"),
-        greatest(col("scu"), col("scv")).as("dst"), col("weight"))
-    // seed the supergraph solve with the carried communities so a batch
-    // can only refine the partition, never regress below it. Movement can
-    // only ever move vertices toward *neighbor* communities (reference
-    // hit_leiden.rs:234-240 likewise), so a community that a deletion has
-    // internally disconnected would never split — enforce Leiden's
-    // connectivity guarantee on the seed first: each carried community is
-    // replaced by its connected components on the supergraph.
+    val spark = superCanon.sparkSession
+    import spark.implicits._
+    val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debugT) {
+      val now = System.nanoTime()
+      System.err.println(f"[sup] $phase%-14s ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
     val carried0 = assign.groupBy(col("subcomm").as("v"))
-      .agg(min(col("community")).as("community")).localCheckpoint(true)
-    val superNodes = carried0.select("v")
-    val intraSuper = superEdges
-      .join(carried0.select(col("v").as("src"), col("community").as("cu")),
-        "src")
-      .join(carried0.select(col("v").as("dst"), col("community").as("cv")),
-        "dst")
-      .where(col("cu") === col("cv"))
-      .select("src", "dst")
-    val carried = ConnectedComponents
-      .run(intraSuper, vertices = Some(superNodes))
-      .components
-      .select(col("v"), col("component").as("community"))
-    val superRes = Leiden.run(superEdges, cfg, sink, initial = Some(carried))
-    scMap
-      .join(superRes.assignment.select(col("v").as("subcomm"),
-        col("community")), "subcomm")
+      .agg(min(col("community")).as("community")).ckpt
+    mark("carried-agg")
+
+    val superRes =
+      if (cfg.localSolveEdges > 0 &&
+          superCanon.count() <= cfg.localSolveEdges) {
+        // supergraph fits: connectivity repair (union-find) AND the full
+        // hierarchy solve run sequentially on the collected arrays — one
+        // collect instead of a dozen fixed-cost distributed jobs per batch
+        val es = superCanon.select("src", "dst", "weight").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val cmM = carried0.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        mark("collect")
+        val szM =
+          if (cfg.useCpm) assign.groupBy(col("subcomm").as("v"))
+            .agg(count(lit(1)).as("size")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          else Map.empty[Long, Long]
+        val repaired = LocalLeiden.repairConnectivity(es, cmM)
+        mark("repair")
+        val solved = LocalLeiden.solve(es, szM, repaired, cfg)
+        mark("local-solve")
+        val out = solved.toSeq.toDF("v", "community")
+        mark("toDF")
+        out
+      } else {
+        val superNodes = carried0.select("v")
+        val intraSuper = superCanon
+          .join(carried0.select(col("v").as("src"),
+            col("community").as("cu")), "src")
+          .join(carried0.select(col("v").as("dst"),
+            col("community").as("cv")), "dst")
+          .where(col("cu") === col("cv"))
+          .select("src", "dst")
+        val carried = ConnectedComponents
+          .run(intraSuper, vertices = Some(superNodes))
+          .components
+          .select(col("v"), col("component").as("community"))
+        val sizes =
+          if (cfg.useCpm) Some(assign.groupBy(col("subcomm").as("v"))
+            .agg(count(lit(1)).as("size")).ckpt)
+          else None
+        // the supergraph IS level >= 1 of the hierarchy: its own level 0
+        // may local-solve as soon as it fits
+        Leiden.run(superCanon, cfg.copy(localSolveMinLevel = 0), sink,
+          initial = Some(carried), initialSizes = sizes).assignment
+      }
+
+    val out = assign.select(col("v"), col("subcomm"))
+      .join(superRes.select(col("v").as("subcomm"), col("community")),
+        "subcomm")
       .select(col("v"), col("community"), col("subcomm"))
       .ckpt
+    mark("compose")
+    out
   }
 
-  /** Apply one signed delta batch, warm-starting from `state`. */
-  def update(state: State, delta: DataFrame,
+  /** Apply one signed delta batch, warm-starting from `state`.
+    *
+    * Faithful to the reference's per-batch pipeline (hit_leiden.rs:85-151
+    * at level 0 + inc_aggregation/def_update for the hierarchy): delta
+    * activation -> frontier movement -> refinement (largest-keeps-id
+    * splits + singleton merges) -> IncAggregation supergraph delta ->
+    * upper-level re-solve over the maintained supergraph -> composition.
+    */
+  def update(state0: State, delta: DataFrame,
       cfg: Leiden.Config = Leiden.Config(),
       sink: MetricsSink = MetricsSink.discard): State = {
 
-    // merge the delta into the live graph (compress = group-sum + epsilon
-    // drop, the reference's Compress at hit_leiden.rs:533-546)
-    val deltaC = delta.select(col("src"), col("dst"),
-      coalesce(col("weight"), lit(1.0)).as("weight"))
-    val newCanon = EdgeOps
-      .compress(state.canon.unionAll(deltaC), cfg.eps)
-      .ckpt
-    val m2 = 2.0 * EdgeOps.totalWeight(newCanon)
-    val verts = EdgeOps.vertices(newCanon).ckpt
+    // phase timing to stderr when GRAFT_DEBUG_TIMING=1 (diagnostics only)
+    val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debugT) {
+      val now = System.nanoTime()
+      System.err.println(f"[inc] $phase%-14s ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
 
-    // carry assignments; vertices new in this batch start as singletons
-    val assign0 = verts.join(state.assign, Seq("v"), "left")
+    val state = hydrate(state0, cfg.eps)
+    val deltaC = EdgeOps.compress(delta, cfg.eps).ckpt
+    if (deltaC.isEmpty) return state
+    mark("hydrate+delta")
+
+    // --- graph-state maintenance: delta-bound, no full-table shuffles
+    val dW = {
+      val r = deltaC.agg(sum("weight")).collect()(0)
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val newCanon = EdgeOps.mergeDelta(state.canon, deltaC, cfg.eps).ckpt
+    val m2 = state.m2 + 2.0 * dW
+
+    // new endpoints enter as singletons. The "which delta ids are new"
+    // set is computed with a driver round-trip over the (batch-bounded)
+    // delta id list + one map-side scan of the assignment — a shuffled
+    // anti join would re-sort the whole vertex table per batch.
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val dIds = EdgeOps.vertices(deltaC).collect().map(_.getLong(0))
+    val existing = state.assign
+      .where(col("v").isInCollection(dIds)).select("v")
+      .collect().map(_.getLong(0)).toSet
+    val newIds = dIds.filterNot(existing)
+    val newVerts = newIds.toSeq.toDF("v")
+    val assign0 =
+      if (newIds.isEmpty) state.assign
+      else state.assign.unionAll(
+        newVerts.select(col("v"), col("v").as("community"),
+          col("v").as("subcomm"))).ckpt
+
+    // degree patch: broadcast left-outer add for existing vertices plus
+    // delta-only degrees for new ones — no vertex-table shuffle
+    val deltaDeg = EdgeOps.degrees(EdgeOps.symmetrize(deltaC))
+      .withColumnRenamed("deg", "dd").ckpt
+    val degPatched = state.deg.join(broadcast(deltaDeg), Seq("v"), "left")
       .select(col("v"),
-        coalesce(col("community"), col("v")).as("community"),
-        coalesce(col("subcomm"), col("v")).as("subcomm"))
-      .ckpt
+        (col("deg") + coalesce(col("dd"), lit(0.0))).as("deg"))
+    val degNew = deltaDeg
+      .join(broadcast(newVerts), Seq("v"), "left_semi")
+      .select(col("v"), col("dd").as("deg"))
+    val deg = degPatched.unionAll(degNew).ckpt
+    mark("graph-state")
 
-    // delta activation (hit_leiden.rs:166-186)
-    val d = deltaC
+    // --- delta activation (hit_leiden.rs:166-186); the delta side is
+    // broadcast-built so the assignment streams map-side, never shuffles
+    val d1 = broadcast(deltaC)
       .join(assign0.select(col("v").as("src"), col("community").as("cu"),
         col("subcomm").as("scu")), "src")
+    val d = broadcast(d1)
       .join(assign0.select(col("v").as("dst"), col("community").as("cv"),
         col("subcomm").as("scv")), "dst")
+      .ckpt
     val activated = d.where(
       (col("weight") > 0 && col("cu") =!= col("cv")) ||
         (col("weight") < 0 && col("cu") === col("cv")))
@@ -129,41 +263,85 @@ object Incremental {
     val k0 = d.where(col("scu") === col("scv"))
       .select(explode(array(col("src"), col("dst"))).as("v")).distinct()
 
-    if (m2 == 0.0) return State(newCanon, assign0, 0.0)
+    if (m2 == 0.0)
+      return hydrate(State(newCanon, assign0, 0.0), cfg.eps)
 
-    val adj = EdgeOps.partitionBySrc(EdgeOps.symmetrize(newCanon),
-      Leiden.parts(newCanon, cfg)).ckpt
-    val deg = EdgeOps.degrees(adj).ckpt
+    val adj = EdgeOps.symmetrize(newCanon)
+    mark("activation")
 
+    // --- frontier-limited movement + refinement at level 0
     val mv = Leiden.movement(adj, deg, m2, assign0, activated, cfg, sink, 0)
+    mark("movement")
     val affected = k0.unionAll(mv.affected).distinct().ckpt
     val ref = Leiden.refinement(adj, deg, m2, mv.assign, affected, cfg, sink,
-      0, isInitial = false)
-    State(newCanon, resolveHierarchy(newCanon, ref.assign, cfg, sink), m2)
+      0, isInitial = false, freshIdBase = state.maxId)
+    mark("refinement")
+    val maxId = state.maxId + ref.freshUsed
+    val assign1 = ref.assign
+
+    // --- supergraph maintenance via the reference's delta machinery.
+    // R must contain EXACTLY the changed vertices (hit_leiden.rs:509-511
+    // dedup guard assumes it); refinement's refined set is a superset
+    // when a phase-2 merge lands a vertex back on its old id.
+    val sPre0 = assign0.select(col("v"), col("subcomm").as("sc"))
+    val sCur = assign1.select(col("v"), col("subcomm").as("sc"))
+    val refR = broadcast(assign1
+      .join(broadcast(ref.refined.select("v").distinct()), Seq("v"),
+        "left_semi"))
+      .join(sPre0.withColumnRenamed("sc", "scPre"), "v")
+      .where(col("subcomm") =!= col("scPre"))
+      .select("v").ckpt
+    val (deltaH, _) = IncAggregation(adj, deltaC, sPre0, sCur, refR, cfg.eps)
+    val newSuper = EdgeOps.mergeDelta(state.superCanon, deltaH, cfg.eps).ckpt
+    mark("aggregation")
+
+    // --- upper levels: re-solve over the maintained supergraph
+    val assign2 = resolveSuper(newSuper, assign1, cfg, sink)
+    mark("resolveSuper")
+    State(newCanon, assign2, m2, deg = deg, superCanon = newSuper,
+      maxId = maxId)
   }
 
   /** Deterministic cumulative delta batches replicating the reference's
     * benchmark splitter `paper_split(initial_ratio, batch_size, rounds,
     * seed)` (/root/reference/src/benchmark/dynamic_graph.rs:62-115):
     * shuffle edges by a seeded hash, first `initialRatio` = the initial
-    * graph, then `rounds` batches of `batchSize` as insertions. Fully
-    * distributed (orderBy a hash, no driver collect).
+    * graph, then `rounds` batches of `batchSize` as insertions.
+    *
+    * Fully distributed AND skew-free: the global rank is computed as a
+    * per-bucket row_number plus driver-side bucket offsets, where buckets
+    * are the hash's top 16 bits (so bucket order IS hash order). The
+    * driver reduction is bounded by 2^16 rows regardless of |E|; no
+    * single-partition window anywhere.
     */
   def paperSplit(edges: DataFrame, initialRatio: Double, batchSize: Int,
       rounds: Int, seed: Long = 42L): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = edges
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val hashed = edges
       .withColumn("_h", xxhash64(col("src"), col("dst"), lit(seed)))
-      .withColumn("_rn", row_number().over(Window.orderBy(col("_h"),
-        col("src"), col("dst"))))
-    val total = edges.count()
+      .withColumn("_b", shiftrightunsigned(col("_h"), 48))
+      .localCheckpoint(true)
+    val counts = hashed.groupBy("_b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) =>
+      val off = acc; acc += n; (b, off)
+    }
+    val offDf = offsets.toSeq.toDF("_b", "_off")
+    val ranked = hashed.join(broadcast(offDf), "_b").withColumn("_rn",
+      row_number().over(Window.partitionBy("_b")
+        .orderBy(col("_h"), col("src"), col("dst"))) + col("_off"))
+      .drop("_off")
+    val total = acc
     val nInit = (total * initialRatio).toLong
     val init = ranked.where(col("_rn") <= nInit)
-      .drop("_h", "_rn").ckpt
+      .drop("_h", "_b", "_rn").ckpt
     val batches = (0 until rounds).map { r =>
       ranked.where(col("_rn") > nInit + r.toLong * batchSize &&
         col("_rn") <= nInit + (r + 1).toLong * batchSize)
-        .drop("_h", "_rn").ckpt
+        .drop("_h", "_b", "_rn").ckpt
     }
     (init, batches)
   }

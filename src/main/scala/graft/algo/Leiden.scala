@@ -32,12 +32,13 @@ import graft.run.{IterMetric, MetricsSink}
   * Documented divergences from the reference (all within its own
   * throughput-mode equivalence policy of quality delta <= 0.001,
   * /root/reference/src/core/validation/equivalence.rs:21-27):
-  *   - subcommunity ids: every CC-split component takes its minimum member
-  *     vertex id instead of "largest keeps old id + counter for the rest"
-  *     (hit_leiden.rs:352-370). With non-dense 64-bit hashed vertex ids a
-  *     max+1 counter cannot be allocated distributively without collisions;
-  *     min-member ids are deterministic, collision-free (a vertex has one
-  *     subcommunity), and stable for unchanged components.
+  *   - subcommunity ids on CC split follow the reference exactly: the
+  *     largest component keeps the old id (stability across updates,
+  *     hit_leiden.rs:352-370), the others take counter ids allocated
+  *     above the caller's id watermark (Incremental.State.maxId). With
+  *     full-range 64-bit hashed vertex ids the watermark should start
+  *     from a masked id space (e.g. 62-bit ingest hashes) so the counter
+  *     has headroom — documented in source.Ingest.
   *   - singleton merges run as BSP rounds to a fixpoint instead of one
   *     stale pass; a merge into another *singleton* is only allowed toward
   *     the smaller subcommunity id, which breaks A<->B swap cycles that the
@@ -79,8 +80,11 @@ object Leiden {
         * ([[LocalLeiden]]) — after one or two contractions a 100 TB
         * graph's supergraph has a few thousand vertices, and driving
         * dozens of fixed-cost distributed jobs against it is pure
-        * overhead. 0 disables. */
-      localSolveEdges: Long = 20000,
+        * overhead. 3M edges collect to ~100 MB — far below the driver
+        * heap — and the flat-buffer sequential solver clears them in
+        * seconds; a 100 TB graph's contractions stay distributed until
+        * they shrink under this. 0 disables. */
+      localSolveEdges: Long = 3000000,
       /** never local-solve below this level (level 0 = the base graph
         * stays distributed regardless of size). */
       localSolveMinLevel: Int = 1,
@@ -113,10 +117,13 @@ object Leiden {
 
   /** @param initial optional warm-start partition (v, community); absent
     *   means all-singleton (the reference's identity state). Vertices not
-    *   covered default to their own community. */
+    *   covered default to their own community.
+    * @param initialSizes optional (v, size) node sizes in base vertices —
+    *   needed for CPM gains when `edges` is itself a supergraph. */
   def run(edges: DataFrame, cfg: Config = Config(),
       sink: MetricsSink = MetricsSink.discard,
-      initial: Option[DataFrame] = None): Result = {
+      initial: Option[DataFrame] = None,
+      initialSizes: Option[DataFrame] = None): Result = {
 
     val canon0 = EdgeOps.compress(edges, cfg.eps).ckpt
     val m = EdgeOps.totalWeight(canon0)
@@ -134,7 +141,8 @@ object Leiden {
     var carriedComm: Option[DataFrame] =
       initial.map(_.select(col("v"), col("community")).ckpt)
     // (v, size) node sizes in base vertices, None = all ones (level 0)
-    var carriedSize: Option[DataFrame] = None
+    var carriedSize: Option[DataFrame] =
+      initialSizes.map(_.select(col("v"), col("size")).ckpt)
     var topAssign: DataFrame = null
     var sweeps = Vector.empty[Int]
     var level = 0
@@ -296,12 +304,22 @@ object Leiden {
       // movement on aggregated graphs, which the reference never reaches
       // (its public run() is single-level). Self-loops still count in
       // degrees and m, per the modularity convention.
+      // frontier semi-join: broadcast the (small) frontier so the big
+      // adjacency is filtered map-side, never shuffled
       val act0 =
         if (frontierN >= nVerts) adj
+        else if (frontierN <= 5_000_000)
+          adj.join(broadcast(active.withColumnRenamed("v", "src")),
+            Seq("src"), "left_semi")
         else adj.join(active.withColumnRenamed("v", "src"), Seq("src"),
           "left_semi")
       val act = act0.where(col("src") =!= col("dst"))
       val aByDst = a.select(col("v").as("dst"), col("community").as("nbrComm"))
+      // warm updates: a delta-sized frontier's gather rows are broadcast
+      // and probe the assignment in a map scan — zero shuffle of either
+      // big table per sweep (estimate guards executor memory)
+      val smallGather = frontierN < nVerts / 4 &&
+        frontierN * math.max(avgDeg, 1.0) < 2e6
       val byComm =
         if (cfg.saltFactor > 1) {
           // explicit skew split: hub destinations (degree > hotDegree) are
@@ -321,6 +339,10 @@ object Leiden {
               .withColumn("salt", explode(saltVals)), Seq("dst", "salt"))
             .select(col("src"), col("nbrComm"), col("weight"))
           coldJ.unionAll(hotJ).groupBy(col("src"), col("nbrComm"))
+            .agg(sum("weight").as("wTo"))
+        } else if (smallGather) {
+          aByDst.join(broadcast(act), "dst")
+            .groupBy(col("src"), col("nbrComm"))
             .agg(sum("weight").as("wTo"))
         } else {
           act.join(aByDst.hint("shuffle_hash"), "dst")
@@ -416,11 +438,18 @@ object Leiden {
           seconds = (System.nanoTime() - t0) / 1e9))
       } else {
         totalMoves += nMoves
-        val aNew = a.join(moves, Seq("v"), "left")
+        // assignment update as a LAZY overlay: the moves table is tiny
+        // and already materialized, so consumers re-apply it as a
+        // broadcast join during their scans; a full O(V) checkpoint
+        // rewrite happens only every 4th sweep. Between flattens the
+        // overlay depth is bounded, and warm updates stop paying a
+        // vertex-table materialization per sweep.
+        val aNew0 = a.join(broadcast(moves.select("v", "newComm")),
+          Seq("v"), "left")
           .select(col("v"),
             coalesce(col("newComm"), col("community")).as("community"),
             col("subcomm"))
-          .ckpt
+        val aNew = if (sweep % 4 == 3) aNew0.ckpt else aNew0
 
         // incremental community-degree/size update: a pure projection of
         // the applied moves (old community, degree and size ride in the
@@ -495,7 +524,8 @@ object Leiden {
       }
       sweep += 1
     }
-    MovementOut(a, changed.distinct(), affected.distinct(), sweep,
+    // flatten any remaining lazy overlay once on exit
+    MovementOut(a.ckpt, changed.distinct(), affected.distinct(), sweep,
       totalMoves)
   }
 
@@ -504,18 +534,26 @@ object Leiden {
   // ---------------------------------------------------------------------
 
   final case class RefinementOut(assign: DataFrame, refined: DataFrame,
-      rounds: Int)
+      rounds: Int, freshUsed: Long = 0L)
 
+  /** @param freshIdBase non-colliding id space start for subcommunities
+    *   born from CC splits (largest fragment keeps the old id, the rest
+    *   get freshIdBase+1, freshIdBase+2, ... — the reference's counter
+    *   allocation, hit_leiden.rs:352-370). Callers track the watermark in
+    *   their state; ids are allocated densely above it.
+    */
   def refinement(adj: DataFrame, deg: DataFrame, m2: Double,
       assign: DataFrame, affected: DataFrame, cfg: Config, sink: MetricsSink,
       level: Int, isInitial: Boolean,
-      nodeSize: Option[DataFrame] = None): RefinementOut = {
+      nodeSize: Option[DataFrame] = None,
+      freshIdBase: Long = 0L): RefinementOut = {
 
     val spark = adj.sparkSession
     val sz = nodeSize.getOrElse(
       assign.select(col("v"), lit(1L).as("size"))).select("v", "size")
     var a = assign
     var refined: DataFrame = null
+    var freshUsed = 0L
 
     if (isInitial) {
       // identity subcommunities are all singletons — no split possible;
@@ -536,14 +574,49 @@ object Leiden {
           "left_semi")
         .where(col("src") < col("dst")) // canonical, drop self-loops
         .select("src", "dst")
-      val comps = ConnectedComponents.run(intra,
-        vertices = Some(members.select("v")), sink = MetricsSink.discard)
-        .components // (v, component = min member id)
-      // every component takes its min-member id as the new subcommunity id
-      // (divergence from largest-keeps-id — see object scaladoc)
-      val relabeled = a.join(comps, Seq("v"), "left")
+      // batch-sized affected subgraphs resolve their components in a
+      // driver-side union-find — distributed hash-min CC on a few
+      // thousand rows is several fixed-cost jobs for nothing
+      val membersV = members.select("v").ckpt
+      val comps = // (v, component = min member id)
+        if (cfg.localSolveEdges > 0 &&
+            membersV.count() <= cfg.localSolveEdges) {
+          import spark.implicits._
+          val vs = membersV.collect().map(_.getLong(0))
+          val es = intra.collect().map(r => (r.getLong(0), r.getLong(1)))
+          LocalLeiden.localComponents(vs, es).toSeq
+            .toDF("v", "component")
+        } else ConnectedComponents.run(intra,
+          vertices = Some(membersV), sink = MetricsSink.discard).components
+
+      // largest-component-keeps-id (hit_leiden.rs:352-370, paper section
+      // 5.1): the biggest fragment of a split keeps the old subcommunity
+      // id — community-id stability a GraphRAG user diffing batch N vs
+      // N+1 observes — and the rest get fresh counter ids above the
+      // caller's watermark. The fresh-rank window is global but bounded
+      // by the number of SPLIT fragments this batch (delta-sized).
+      import org.apache.spark.sql.expressions.Window
+      val withSc = comps.join(a.select(col("v"), col("subcomm")), "v")
+      val compSizes = withSc.groupBy("subcomm", "component")
+        .agg(count(lit(1)).as("n")).ckpt
+      val wKeep = Window.partitionBy("subcomm")
+        .orderBy(desc("n"), asc("component"))
+      val ranked = compSizes.withColumn("rn", row_number().over(wKeep))
+      val keepers = ranked.where(col("rn") === 1)
+        .select(col("subcomm"), col("component"),
+          col("subcomm").as("newSc"))
+      val wFresh = Window.orderBy("subcomm", "component")
+      val freshComps = ranked.where(col("rn") > 1)
+        .select(col("subcomm"), col("component"),
+          (lit(freshIdBase) + row_number().over(wFresh)).as("newSc"))
+        .ckpt
+      freshUsed = freshComps.count()
+      val scMap = keepers.unionAll(freshComps)
+      val relabeled = a
+        .join(withSc.select(col("v"), col("component")), Seq("v"), "left")
+        .join(scMap, Seq("subcomm", "component"), "left")
         .select(col("v"), col("community"),
-          coalesce(col("component"), col("subcomm")).as("newSc"),
+          coalesce(col("newSc"), col("subcomm")).as("newSc"),
           col("subcomm"))
       refined = relabeled.where(col("newSc") =!= col("subcomm")).select("v")
         .ckpt
@@ -553,15 +626,29 @@ object Leiden {
 
     // --- phase 2: merge singleton subcommunities within their community
     // (hit_leiden.rs:417-482; BSP rounds, see scaladoc for the anti-swap
-    // guard replacing the sequential degree-ascending order)
+    // guard replacing the sequential degree-ascending order).
+    // Incremental runs restrict ALL phase-2 work to communities that
+    // contain a refined vertex: merges can only involve refined
+    // singletons and their intra-community neighbors, so subcommunity
+    // stats outside those communities are dead weight (delta-bound, not
+    // O(V), per batch).
+    val affComms =
+      if (isInitial) null
+      else a.join(refined, Seq("v"), "left_semi")
+        .select("community").distinct().ckpt
     var round = 0
     var moved = 1L
     while (moved > 0 && round < cfg.maxRefineRounds) {
       val t0 = System.nanoTime()
+      // communities are fixed during refinement, but subcomms move — the
+      // scope filter re-applies to the CURRENT assignment each round
+      val scope =
+        if (isInitial) a
+        else a.join(affComms, Seq("community"), "left_semi")
       // scn = member count at this level (the singleton test is on level
       // vertices, hit_leiden.rs:420); scbase = total base vertices (CPM);
       // scdeg = total weighted degree — all three in ONE aggregation job
-      val scStats = a.join(sz, "v").join(deg, "v").groupBy("subcomm")
+      val scStats = scope.join(sz, "v").join(deg, "v").groupBy("subcomm")
         .agg(count(lit(1)).as("scn"), sum("size").as("scbase"),
           sum("deg").as("scdeg"))
         .ckpt
@@ -575,7 +662,7 @@ object Leiden {
           col("subcomm").as("mySc"))
 
       val g = adj.join(singles, "src")
-        .join(a.select(col("v").as("dst"), col("community").as("nComm"),
+        .join(scope.select(col("v").as("dst"), col("community").as("nComm"),
           col("subcomm").as("nSc")), "dst")
         .where(col("nComm") === col("myComm")) // within community only
         .where(col("src") =!= col("dst")) // self-loops cancel out of gain
@@ -620,10 +707,11 @@ object Leiden {
       moved = mstats.getLong(0)
       val gSum = if (mstats.isNullAt(1)) 0.0 else mstats.getDouble(1)
       if (moved > 0) {
-        a = a.join(moves, Seq("v"), "left")
+        // lazy overlay, flattened every other round (see movement)
+        a = a.join(broadcast(moves.select("v", "newSc")), Seq("v"), "left")
           .select(col("v"), col("community"),
             coalesce(col("newSc"), col("subcomm")).as("subcomm"))
-          .ckpt
+        if (round % 2 == 1) a = a.ckpt
       }
       sink.add(IterMetric("leiden.refinement", level, round, messages = -1,
         movesAccepted = moved, frontier = -1, qualityDelta = gSum,
@@ -635,6 +723,6 @@ object Leiden {
         if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0) else cfg.minSweepGain
       if (gSum < gainFloor) moved = 0
     }
-    RefinementOut(a, refined, round)
+    RefinementOut(a, refined, round, freshUsed)
   }
 }

@@ -15,158 +15,392 @@ import scala.collection.mutable
   *     BSP engine implements throughput-mode semantics; this is the
   *     exact-identity counterpart (equivalence.rs:14-20).
   *  2. The **top-of-hierarchy solver**: after one or two contractions a
-  *     100 TB graph's supergraph has a few thousand vertices. Driving
+  *     100 TB graph's supergraph has a few million edges at most. Driving
   *     dozens of fixed-cost Spark jobs against it is pure overhead —
   *     collect it and solve sequentially (standard multilevel-partitioner
   *     practice). [[Leiden.run]] switches to this path for levels >= 1
   *     whose edge count is below `Config.localSolveEdges`.
   *
-  * Everything is deterministic: iteration orders are sorted, no hash-map
-  * iteration order leaks into results.
+  * The whole pipeline runs on primitive arrays: external 64-bit ids are
+  * densified once per level, edges live as packed (i<<32 | j) keys in an
+  * open-addressing long->double table (the CSR + flat-accumulator shape
+  * of the reference's in_memory.rs:13-61 and parallel_frontier.rs:117-174)
+  * — a few million edges solve in seconds, zero boxing in the hot loops.
+  * Everything is deterministic: per-level edges are sorted by packed key
+  * before any float accumulation, so results do not depend on the input
+  * row order Spark's collect happens to produce.
   */
 object LocalLeiden {
 
-  /** One hierarchy level solved fully in memory.
+  /** Open-addressing long->double accumulation map (power-of-2 capacity,
+    * linear probing, -1 = empty slot; packed keys are always >= 0). */
+  private final class LongDoubleMap(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2)
+    private var keys = java.util.Arrays.copyOf(Array.empty[Long], cap)
+    java.util.Arrays.fill(keys, -1L)
+    private var vals = new Array[Double](cap)
+    private var n = 0
+    def size: Int = n
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = new Array[Long](cap); java.util.Arrays.fill(keys, -1L)
+      vals = new Array[Double](cap); n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) >= 0) add(ok(i), ov(i))
+        i += 1
+      }
+    }
+    def add(k: Long, v: Double): Unit = {
+      if (n * 4 >= cap * 3) grow()
+      var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) { vals(i) += v; return }
+        if (kk == -1L) { keys(i) = k; vals(i) = v; n += 1; return }
+        i = (i + 1) & (cap - 1)
+      }
+    }
+    def get(k: Long): Double = {
+      var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return vals(i)
+        if (kk == -1L) return 0.0
+        i = (i + 1) & (cap - 1)
+      }
+      0.0
+    }
+    /** All keys with |value| > eps, SORTED (primitive sort — this is the
+      * determinism anchor for downstream float accumulation). */
+    def sortedKeys(eps: Double): Array[Long] = {
+      val out = new Array[Long](n)
+      var i = 0; var m = 0
+      while (i < cap) {
+        if (keys(i) >= 0 && math.abs(vals(i)) > eps) {
+          out(m) = keys(i); m += 1
+        }
+        i += 1
+      }
+      val trimmed = java.util.Arrays.copyOf(out, m)
+      java.util.Arrays.sort(trimmed)
+      trimmed
+    }
+  }
+
+  /** Replace each carried community by its connected components on the
+    * (local) graph — the seed-connectivity repair of the incremental
+    * supergraph solve, as a sequential union-find. Component label = min
+    * member id (matching the distributed [[ConnectedComponents]] policy).
+    * Vertices keep singleton communities when absent from `carried`. */
+  def repairConnectivity(es: Array[(Long, Long, Double)],
+      carried: Map[Long, Long]): Map[Long, Long] = {
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    def commOf(v: Long) = carried.getOrElse(v, v)
+    es.foreach { case (u, v, _) =>
+      if (commOf(u) == commOf(v)) {
+        val (ra, rb) = (find(u), find(v))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val verts = (es.flatMap(e => Seq(e._1, e._2)) ++ carried.keys).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  /** Connected components on a driver-local edge list: label = min member
+    * id. Used by the refinement CC-split when the affected subgraph is
+    * batch-sized. */
+  def localComponents(verts: Array[Long],
+      es: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    es.foreach { case (u, v) =>
+      val (ra, rb) = (find(u), find(v))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  /** Full hierarchical solve.
     *
-    * @param edges    canonical undirected edges (src <= dst not required;
-    *                 parallel edges allowed — they are merged here)
+    * @param edges    undirected edges (parallel/duplicate rows allowed;
+    *                 merged here); any row order — results are identical
     * @param nodeSize vertex -> size in base vertices (absent = 1)
     * @param initial  vertex -> starting community (absent = own id)
-    * @return final (vertex -> community) after the full local hierarchy
+    * @return final (vertex -> community), community = min member id
     */
   def solve(edges: Array[(Long, Long, Double)],
       nodeSize: Map[Long, Long],
       initial: Map[Long, Long],
       cfg: Leiden.Config): Map[Long, Long] = {
+    if (edges.isEmpty)
+      return (nodeSize.keySet ++ initial.keySet).map(v => v -> v).toMap
 
-    // m2 is a GLOBAL constant of the whole hierarchy (contraction
-    // preserves total weight), matching the distributed path
-    val m2g = 2.0 * merge(edges).map(_._3).sum
-    var lvlEdges = edges
-    var lvlSize = nodeSize
-    var lvlComm = initial
-    var maps = List.empty[Map[Long, Long]] // per-level v -> subcomm
-    var top = Map.empty[Long, Long]
+    // densify external ids once (sorted -> binary search)
+    val verts: Array[Long] = {
+      val all = new Array[Long](edges.length * 2)
+      var i = 0
+      edges.foreach { e =>
+        all(i) = e._1; all(i + 1) = e._2; i += 2
+      }
+      java.util.Arrays.sort(all)
+      var m = 0
+      var j = 0
+      while (j < all.length) {
+        if (m == 0 || all(j) != all(m - 1)) { all(m) = all(j); m += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(all, m)
+    }
+    val nBase = verts.length
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(verts, v)
+
+    // level-0 merged canonical edges as packed keys (i <= j)
+    var (src, dst, w) = {
+      val map = new LongDoubleMap(edges.length)
+      edges.foreach { case (u, v, wt) =>
+        val i = idx(u); val j = idx(v)
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        map.add((a.toLong << 32) | b.toLong, wt)
+      }
+      unpack(map)
+    }
+    // m2 is a GLOBAL constant of the hierarchy (contraction preserves
+    // total weight; totalWeight counts a canonical edge once)
+    var m2 = 0.0
+    w.foreach(m2 += 2.0 * _)
+
+    var n = nBase
+    var sizes = Array.tabulate(n)(i =>
+      nodeSize.getOrElse(verts(i), 1L).toDouble)
+    var commInit: Array[Int] = {
+      // external initial labels -> dense community indices (min member)
+      val lbl = Array.tabulate(n)(i => initial.getOrElse(verts(i), verts(i)))
+      val first = mutable.HashMap.empty[Long, Int]
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = first.getOrElseUpdate(lbl(i), i)
+        i += 1
+      }
+      out
+    }
+    // baseToCur(i) = current-level index of base vertex i
+    val baseToCur = Array.tabulate(nBase)(identity)
+    var topComm: Array[Int] = commInit
     var level = 0
     var done = false
     while (!done && level < cfg.maxLevels) {
-      val (comm, sub) = solveLevel(lvlEdges, lvlSize, lvlComm, m2g, cfg)
-      val nSub = sub.values.toSet.size
-      top = comm
-      if (nSub == sub.size || level == cfg.maxLevels - 1) done = true
+      val (comm, sub) = solveLevel(n, src, dst, w, sizes, commInit, m2, cfg)
+      topComm = comm
+      // remap subcommunities to dense next-level ids (first-occurrence
+      // order — deterministic)
+      val remap = Array.fill(n)(-1)
+      var n2 = 0
+      var i = 0
+      while (i < n) {
+        val s = sub(i)
+        if (remap(s) < 0) { remap(s) = n2; n2 += 1 }
+        i += 1
+      }
+      if (n2 == n || level == cfg.maxLevels - 1) done = true
       else {
-        maps ::= sub
-        // contract: subcommunity -> supervertex
-        val superEdges = mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        lvlEdges.foreach { case (u, v, w) =>
-          superEdges += ((sub(u), sub(v), w))
+        // compose base chain, contract edges/sizes/communities
+        var b = 0
+        while (b < nBase) {
+          baseToCur(b) = remap(sub(baseToCur(b))); b += 1
         }
-        lvlEdges = merge(superEdges.toArray)
-        lvlSize = sub.toSeq.groupBy(_._2).map { case (sc, kv) =>
-          sc -> kv.map(x => lvlSize.getOrElse(x._1, 1L)).sum
+        val map = new LongDoubleMap(src.length)
+        i = 0
+        while (i < src.length) {
+          val a = remap(sub(src(i))); val c = remap(sub(dst(i)))
+          val (x, y) = if (a <= c) (a, c) else (c, a)
+          map.add((x.toLong << 32) | y.toLong, w(i))
+          i += 1
         }
-        // supervertex inherits its members' community (all members share
-        // one community: subcommunity is a within-community refinement)
-        lvlComm = sub.map { case (v, sc) => sc -> comm(v) }
+        val un = unpack(map)
+        src = un._1; dst = un._2; w = un._3
+        val sz2 = new Array[Double](n2)
+        val cm2 = Array.fill(n2)(-1)
+        i = 0
+        while (i < n) {
+          val s = remap(sub(i))
+          sz2(s) += sizes(i)
+          if (cm2(s) < 0) cm2(s) = comm(i) // members share a community
+          i += 1
+        }
+        // community labels must be level-local indices: relabel each
+        // community to the first next-level vertex owning it
+        val commFirst = mutable.HashMap.empty[Int, Int]
+        i = 0
+        while (i < n2) {
+          cm2(i) = commFirst.getOrElseUpdate(cm2(i), i)
+          i += 1
+        }
+        sizes = sz2
+        commInit = cm2
+        n = n2
         level += 1
       }
     }
-    // compose the hierarchy back down to base vertices
-    maps.foldLeft(top) { (acc, m) => m.map { case (v, sc) => v -> acc(sc) } }
-  }
-
-  /** Merge parallel edges (canonical min/max ordering), drop ~0 weights. */
-  private def merge(es: Array[(Long, Long, Double)])
-      : Array[(Long, Long, Double)] = {
-    val m = mutable.HashMap.empty[(Long, Long), Double]
-    es.foreach { case (u, v, w) =>
-      val k = if (u <= v) (u, v) else (v, u)
-      m.update(k, m.getOrElse(k, 0.0) + w)
+    // final label = min base vertex id per top-level community
+    val minOf = mutable.HashMap.empty[Int, Long]
+    var b = 0
+    while (b < nBase) {
+      val c = topComm(baseToCur(b))
+      val v = verts(b)
+      if (!minOf.contains(c) || v < minOf(c)) minOf(c) = v
+      b += 1
     }
-    m.iterator.filter(kv => math.abs(kv._2) > 1e-12)
-      .map { case ((u, v), w) => (u, v, w) }.toArray.sortBy(e => (e._1, e._2))
+    (0 until nBase).map(i => verts(i) -> minOf(topComm(baseToCur(i)))).toMap
   }
 
-  /** Movement + refinement for one level. Returns (community, subcomm)
-    * per vertex. */
-  private def solveLevel(edgesIn: Array[(Long, Long, Double)],
-      nodeSize: Map[Long, Long], initial: Map[Long, Long], m2: Double,
-      cfg: Leiden.Config): (Map[Long, Long], Map[Long, Long]) = {
+  /** Packed map -> sorted (src, dst, weight) primitive arrays. */
+  private def unpack(map: LongDoubleMap)
+      : (Array[Int], Array[Int], Array[Double]) = {
+    val ks = map.sortedKeys(1e-12)
+    val src = new Array[Int](ks.length)
+    val dst = new Array[Int](ks.length)
+    val w = new Array[Double](ks.length)
+    var i = 0
+    while (i < ks.length) {
+      src(i) = (ks(i) >>> 32).toInt
+      dst(i) = (ks(i) & 0xFFFFFFFFL).toInt
+      w(i) = map.get(ks(i))
+      i += 1
+    }
+    (src, dst, w)
+  }
 
-    val es = merge(edgesIn)
-    val verts: Array[Long] =
-      es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
-    val n = verts.length
-    val idx = verts.zipWithIndex.toMap
-    // symmetrized adjacency (self-loop twice, matching the CSR builder
-    // in_memory.rs:36-48); self-loops excluded from move gathers but
-    // counted in degrees (same convention as the BSP path)
-    val nbrs = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Double)])
+  /** Movement + refinement for one level over dense-int canonical edges.
+    * Returns (community, subcomm) as dense indices. */
+  private def solveLevel(n: Int, src: Array[Int], dst: Array[Int],
+      w: Array[Double], sz: Array[Double], commInit: Array[Int],
+      m2: Double, cfg: Leiden.Config): (Array[Int], Array[Int]) = {
+
+    // CSR (degree count -> prefix sum -> scatter), both directions,
+    // self-loops excluded from gathers but counted twice in degrees
+    // (in_memory.rs:13-61 conventions)
     val deg = new Array[Double](n)
-    es.foreach { case (u, v, w) =>
-      val (i, j) = (idx(u), idx(v))
-      if (i != j) { nbrs(i) += ((j, w)); nbrs(j) += ((i, w)) }
-      deg(i) += w; deg(j) += w // self-loop contributes 2w to deg
+    val cnt = new Array[Int](n)
+    var e = 0
+    while (e < src.length) {
+      val i = src(e); val j = dst(e)
+      if (i != j) { cnt(i) += 1; cnt(j) += 1 }
+      deg(i) += w(e); deg(j) += w(e)
+      e += 1
     }
-    val sz = verts.map(v => nodeSize.getOrElse(v, 1L).toDouble)
+    val off = new Array[Int](n + 1)
+    var oi = 0
+    while (oi < n) { off(oi + 1) = off(oi) + cnt(oi); oi += 1 }
+    val nbrIdx = new Array[Int](off(n))
+    val nbrW = new Array[Double](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    e = 0
+    while (e < src.length) {
+      val i = src(e); val j = dst(e)
+      if (i != j) {
+        nbrIdx(fill(i)) = j; nbrW(fill(i)) = w(e); fill(i) += 1
+        nbrIdx(fill(j)) = i; nbrW(fill(j)) = w(e); fill(j) += 1
+      }
+      e += 1
+    }
 
-    // community state: ids are vertex INDICES internally (dense), mapped
-    // back to the original community labels at the end via min-member
-    val comm = new Array[Int](n)
-    val extComm = verts.map(v => initial.getOrElse(v, v)) // external label
-    // group by external label -> dense community = min member index
-    val byExt = (0 until n).groupBy(i => extComm(i))
-    byExt.foreach { case (_, is) => val c = is.min; is.foreach(comm(_) = c) }
+    val comm = java.util.Arrays.copyOf(commInit, n)
     val cdeg = new Array[Double](n)
     val csize = new Array[Double](n)
-    (0 until n).foreach { i => cdeg(comm(i)) += deg(i); csize(comm(i)) += sz(i) }
+    var i = 0
+    while (i < n) {
+      cdeg(comm(i)) += deg(i); csize(comm(i)) += sz(i); i += 1
+    }
 
     val gamma = cfg.gamma
-    def moveGain(i: Int, from: Int, to: Int, wTo: Double,
+    def moveGain(vi: Int, from: Int, to: Int, wTo: Double,
         wCur: Double): Double =
       if (cfg.useCpm)
-        (wTo - wCur) - gamma * sz(i) * (csize(to) - csize(from) + sz(i))
+        (wTo - wCur) - gamma * sz(vi) * (csize(to) - csize(from) + sz(vi))
       else
         (wTo - wCur) / m2 +
-          gamma * deg(i) * (cdeg(from) - deg(i) - cdeg(to)) / (m2 * m2)
+          gamma * deg(vi) * (cdeg(from) - deg(vi) - cdeg(to)) / (m2 * m2)
 
-    // --- movement: ascending-id rounds with immediate updates
-    // (hit_leiden.rs:223-280)
+    // --- movement: ascending-id rounds, immediate updates
+    // (hit_leiden.rs:223-280), flat accumulator with dirty list
+    // (parallel_frontier.rs:117-174), epsilon-gain round floor (the
+    // quadratic term makes arbitrarily small positive gains real; the
+    // forfeited tail is far inside the 0.001 equivalence band)
     val active = Array.fill(n)(true)
     var anyActive = true
     var rounds = 0
-    val wByComm = mutable.HashMap.empty[Int, Double]
-    while (anyActive && rounds < cfg.maxSweeps * 4) {
+    val wBuf = new Array[Double](n)
+    val dirty = new Array[Int](n)
+    val gainFloor =
+      if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0) else cfg.minSweepGain
+    var roundGain = Double.MaxValue
+    while (anyActive && roundGain >= gainFloor &&
+        rounds < cfg.maxSweeps * 4) {
       anyActive = false
-      var i = 0
+      roundGain = 0.0
+      i = 0
       while (i < n) {
         if (active(i)) {
           active(i) = false
-          wByComm.clear()
-          nbrs(i).foreach { case (j, w) =>
-            wByComm.update(comm(j), wByComm.getOrElse(comm(j), 0.0) + w)
+          var nd = 0
+          var k = off(i)
+          val kEnd = off(i + 1)
+          while (k < kEnd) {
+            val c = comm(nbrIdx(k))
+            if (wBuf(c) == 0.0) { dirty(nd) = c; nd += 1 }
+            wBuf(c) += nbrW(k)
+            k += 1
           }
           val cur = comm(i)
-          val wCur = wByComm.getOrElse(cur, 0.0)
+          val wCur = wBuf(cur)
           var bestC = cur
           var bestG = 0.0
-          wByComm.toSeq.sortBy(_._1).foreach { case (c, wTo) =>
+          k = 0
+          while (k < nd) {
+            val c = dirty(k)
             if (c != cur) {
-              val g = moveGain(i, cur, c, wTo, wCur)
+              val g = moveGain(i, cur, c, wBuf(c), wCur)
               if (g > bestG + 1e-15 ||
                 (math.abs(g - bestG) <= 1e-15 && g > 0 && c < bestC)) {
                 bestG = g; bestC = c
               }
             }
+            k += 1
           }
+          k = 0
+          while (k < nd) { wBuf(dirty(k)) = 0.0; k += 1 }
           if (bestC != cur && bestG > 0) {
+            roundGain += bestG
             cdeg(cur) -= deg(i); csize(cur) -= sz(i)
             cdeg(bestC) += deg(i); csize(bestC) += sz(i)
             comm(i) = bestC
-            nbrs(i).foreach { case (j, _) =>
+            k = off(i)
+            while (k < kEnd) {
+              val j = nbrIdx(k)
               if (comm(j) != bestC && !active(j)) {
                 active(j) = true; anyActive = true
               }
+              k += 1
             }
           }
         }
@@ -176,54 +410,59 @@ object LocalLeiden {
     }
 
     // --- refinement: singleton merges within the community, ascending
-    // degree order (hit_leiden.rs:399-482); initial subcommunities are
-    // all singletons so no CC split is needed on a fresh level
-    val sub = (0 until n).toArray // subcomm = own index initially
-    val scdeg = deg.clone()
-    val scsize = sz.clone()
-    val scCount = Array.fill(n)(1) // member count per subcommunity
-    def refineGain(i: Int, from: Int, to: Int, wTo: Double,
+    // degree (hit_leiden.rs:399-482); fresh levels start all-singleton so
+    // no CC split is needed
+    val sub = Array.tabulate(n)(identity)
+    val scdeg = java.util.Arrays.copyOf(deg, n)
+    val scsize = java.util.Arrays.copyOf(sz, n)
+    val scCount = Array.fill(n)(1)
+    def refineGain(vi: Int, from: Int, to: Int, wTo: Double,
         wCur: Double): Double =
-      if (cfg.useCpm) (wTo - wCur) - gamma * sz(i) * scsize(to)
+      if (cfg.useCpm) (wTo - wCur) - gamma * sz(vi) * scsize(to)
       else (wTo - wCur) / m2 +
-        gamma * deg(i) * (scdeg(from) - deg(i) - scdeg(to)) / (m2 * m2)
+        gamma * deg(vi) * (scdeg(from) - deg(vi) - scdeg(to)) / (m2 * m2)
 
-    val order = (0 until n).sortBy(i => (deg(i), verts(i)))
-    order.foreach { i =>
-      if (scCount(sub(i)) == 1) {
-        wByComm.clear()
-        nbrs(i).foreach { case (j, w) =>
-          if (comm(j) == comm(i))
-            wByComm.update(sub(j), wByComm.getOrElse(sub(j), 0.0) + w)
+    val order = (0 until n).sortBy(i => (deg(i), i))
+    order.foreach { vi =>
+      if (scCount(sub(vi)) == 1) {
+        var nd = 0
+        var k = off(vi)
+        val kEnd = off(vi + 1)
+        while (k < kEnd) {
+          val j = nbrIdx(k)
+          if (comm(j) == comm(vi)) {
+            val s = sub(j)
+            if (wBuf(s) == 0.0) { dirty(nd) = s; nd += 1 }
+            wBuf(s) += nbrW(k)
+          }
+          k += 1
         }
-        val cur = sub(i)
-        val wCur = wByComm.getOrElse(cur, 0.0)
+        val cur = sub(vi)
+        val wCur = wBuf(cur)
         var bestS = cur
         var bestG = 0.0
-        wByComm.toSeq.sortBy(_._1).foreach { case (s, wTo) =>
+        k = 0
+        while (k < nd) {
+          val s = dirty(k)
           if (s != cur) {
-            val g = refineGain(i, cur, s, wTo, wCur)
+            val g = refineGain(vi, cur, s, wBuf(s), wCur)
             if (g > bestG + 1e-15 ||
               (math.abs(g - bestG) <= 1e-15 && g > 0 && s < bestS)) {
               bestG = g; bestS = s
             }
           }
+          k += 1
         }
+        k = 0
+        while (k < nd) { wBuf(dirty(k)) = 0.0; k += 1 }
         if (bestS != cur && bestG > 0) {
-          scdeg(cur) -= deg(i); scsize(cur) -= sz(i); scCount(cur) -= 1
-          scdeg(bestS) += deg(i); scsize(bestS) += sz(i); scCount(bestS) += 1
-          sub(i) = bestS
+          scdeg(cur) -= deg(vi); scsize(cur) -= sz(vi); scCount(cur) -= 1
+          scdeg(bestS) += deg(vi); scsize(bestS) += sz(vi)
+          scCount(bestS) += 1
+          sub(vi) = bestS
         }
       }
     }
-
-    // map dense ids back to stable external labels: min member vertex id
-    val commLabel = (0 until n).groupBy(comm(_))
-      .map { case (c, is) => c -> is.map(verts(_)).min }
-    val subLabel = (0 until n).groupBy(sub(_))
-      .map { case (s, is) => s -> is.map(verts(_)).min }
-    val commOut = (0 until n).map(i => verts(i) -> commLabel(comm(i))).toMap
-    val subOut = (0 until n).map(i => verts(i) -> subLabel(sub(i))).toMap
-    (commOut, subOut)
+    (comm, sub)
   }
 }

@@ -47,6 +47,23 @@ object EdgeOps {
       .agg(sum(W).as(W))
       .where(abs(col(W)) > eps)
 
+  /** Merge a small canonical signed delta into a large canonical edge
+    * table WITHOUT shuffling the large side: the delta's key set is
+    * broadcast, untouched rows pass through a map-side anti join, and
+    * only the touched rows (delta-sized) go through a compress shuffle.
+    * This is the per-batch graph maintenance that keeps warm updates
+    * O(|delta|), not O(|E|) — at petabyte scale the same idea is a
+    * bucket-pruned merge into a bucketed table.
+    * Both inputs must be canonical (src <= dst, parallel edges merged).
+    */
+  def mergeDelta(canon: DataFrame, deltaCanon: DataFrame,
+      eps: Double = 1e-9): DataFrame = {
+    val keys = broadcast(deltaCanon.select(col(SRC), col(DST)).distinct())
+    val untouched = canon.join(keys, Seq(SRC, DST), "left_anti")
+    val touched = canon.join(keys, Seq(SRC, DST), "left_semi")
+    untouched.unionAll(compress(touched.unionAll(deltaCanon), eps))
+  }
+
   /** Both directions of every edge; self-loops are emitted twice, matching
     * the reference CSR builder which scatters (u,v) and (v,u)
     * unconditionally (/root/reference/src/core/graph/in_memory.rs:36-48).

@@ -18,15 +18,24 @@ import graft.state.Checkpointer
   */
 object Engine {
 
+  /** Reference run modes (config.rs): `throughput` = parallel BSP with
+    * quality-delta equivalence (<= 0.001, equivalence.rs:21-27);
+    * `deterministic` = sequential exact-identity semantics — the whole
+    * solve runs in [[graft.algo.LocalLeiden]], so the graph must fit
+    * `leiden.localSolveEdges` (the reference's deterministic mode is
+    * single-threaded and carries the same practical bound). */
   final case class Config(
       leiden: Leiden.Config = Leiden.Config(),
       checkpointRoot: Option[String] = None,
-      runId: String = "run-0") {
+      runId: String = "run-0",
+      mode: String = "throughput") {
     def validate(): Unit = {
       // mirrors RunConfig::validate (config.rs:35-43)
       require(leiden.maxSweeps > 0, "maxSweeps must be > 0")
       require(leiden.maxLevels > 0, "maxLevels must be > 0")
       require(leiden.eps >= 0, "eps must be >= 0")
+      require(mode == "throughput" || mode == "deterministic",
+        s"unknown mode: $mode")
     }
   }
 
@@ -43,7 +52,17 @@ object Engine {
   def run(edges: DataFrame, cfg: Config = Config()): Outcome = {
     cfg.validate()
     val sink = new MetricsSink
-    val r = Leiden.run(edges, cfg.leiden, sink)
+    val leidenCfg =
+      if (cfg.mode == "deterministic") {
+        // sequential exact-identity solve from level 0 (LocalLeiden)
+        val n = EdgeOps.compress(edges, cfg.leiden.eps).count()
+        require(cfg.leiden.localSolveEdges > 0 &&
+          n <= cfg.leiden.localSolveEdges,
+          s"deterministic mode requires <= ${cfg.leiden.localSolveEdges} " +
+            s"edges (got $n) — use throughput mode at scale")
+        cfg.leiden.copy(localSolveMinLevel = 0)
+      } else cfg.leiden
+    val r = Leiden.run(edges, leidenCfg, sink)
     val out = Outcome(r.assignment, r.modularity, r.communityCount,
       r.sweepsPerLevel.sum, sink.all, batch = 0)
     checkpoint(cfg, out, edges)

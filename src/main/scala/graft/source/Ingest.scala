@@ -16,14 +16,25 @@ import org.apache.spark.sql.functions._
   * Per-row invariant (north rule): sha256(content) of every ingested row
   * equals the source row's — carried as `content_sha` and asserted by
   * [[checkInvariant]].
+  *
+  * Id space: hashes are masked to 62 bits. The top quarter of the Long
+  * range is RESERVED for synthetic subcommunity ids — the incremental
+  * engine's largest-component-keeps-id splits allocate fresh ids above
+  * the observed maximum (Incremental.State.maxId), and a full-range hash
+  * would leave no headroom for the counter.
   */
 object Ingest {
+
+  /** Mask keeping ids in [0, 2^62): headroom for synthetic id allocation. */
+  val IdMask: Long = (1L << 62) - 1
+
+  private def rowId = xxhash64(col("repo"), col("path"), col("commit"),
+    col("content")).bitwiseAND(lit(IdMask))
 
   /** (id, repo, path, commit, lang, content_sha). One vertex per row. */
   def vertices(source: DataFrame): DataFrame =
     source.select(
-      xxhash64(col("repo"), col("path"), col("commit"), col("content"))
-        .as("id"),
+      rowId.as("id"),
       col("repo"), col("path"), col("commit"), col("lang"),
       sha2(col("content"), 256).as("content_sha"))
 
@@ -36,8 +47,7 @@ object Ingest {
   def coCommitEdges(source: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = source.select(
-      xxhash64(col("repo"), col("path"), col("commit"), col("content"))
-        .as("id"),
+      rowId.as("id"),
       col("repo"), col("path"), col("commit"))
     val w = Window.partitionBy("commit").orderBy("repo", "path")
     v.withColumn("prev", lag(col("id"), 1).over(w))

@@ -32,6 +32,26 @@ class EngineSpec extends SparkSpecBase {
     assert(canonicalPartition(toMapLL(resumed)) == part)
   }
 
+  test("deterministic mode: exact replay identity + quality-equivalent " +
+    "to throughput mode") {
+    val g = edges(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0), (5L, 3L, 1.0), (2L, 3L, 0.05))
+    val det = Engine.Config(mode = "deterministic")
+    val a = Engine.run(g, det)
+    val b = Engine.run(g, det)
+    // deterministic policy: exact partition identity (equivalence.rs:14-20)
+    assert(toMapLL(a.assignment) == toMapLL(b.assignment))
+    // cross-mode: quality delta within the throughput tolerance (:21-27)
+    val t = Engine.run(g, Engine.Config(mode = "throughput"))
+    assert(math.abs(a.quality - t.quality) <= 0.001 + 1e-9,
+      s"det=${a.quality} thr=${t.quality}")
+    // refuses graphs over the local-solve bound
+    intercept[IllegalArgumentException] {
+      Engine.run(g, det.copy(leiden = det.leiden.copy(localSolveEdges = 3)))
+    }
+  }
+
   test("config validation rejects bad settings") {
     intercept[IllegalArgumentException] {
       Engine.Config(leiden = Leiden.Config(maxSweeps = 0)).validate()

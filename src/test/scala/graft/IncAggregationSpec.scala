@@ -91,6 +91,33 @@ class IncAggregationSpec extends SparkSpecBase {
     assert(dh == Map((10L, 11L) -> 2.5))
   }
 
+  test("composite: delta edges AND refinement re-seating in one batch") {
+    // H(old) = contract(G_old, sPre); after inserting (0,2) and refining
+    // 2 into subcommunity 0: contract(G', sPre') must equal H + deltaH.
+    // deltaMapped's +w on the OLD pair cancels against the re-seat's -w
+    // for the refined endpoint — the reference's composition (499-525).
+    val gOld = EdgeOps.compress(edges((0L, 1L, 1.0), (1L, 2L, 1.0)))
+    val delta = edges((0L, 2L, 2.0))
+    val gNew = EdgeOps.compress(gOld.unionAll(delta))
+    val adjNew = EdgeOps.symmetrize(gNew)
+    val sPre = mapping(0L -> 0L, 1L -> 0L, 2L -> 2L)
+    val sCur = mapping(0L -> 0L, 1L -> 0L, 2L -> 0L)
+    val s = spark
+    import s.implicits._
+    val refined = Seq(2L).toDF("v")
+    val (deltaH, nextPre) = IncAggregation(adjNew, delta, sPre, sCur, refined)
+    assert(toMapLL(nextPre.select("v", "sc")) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    val before = contract(gOld, sPre)
+    val after = contract(gNew, sCur)
+    val dh = deltaH.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val combined = (before.keySet ++ dh.keySet).map { k =>
+      k -> (before.getOrElse(k, 0.0) + dh.getOrElse(k, 0.0))
+    }.filter(kv => math.abs(kv._2) > 1e-9).toMap
+    assert(combined == after, s"combined=$combined after=$after dh=$dh")
+  }
+
   test("def_update re-points f through the hierarchy and pushes B down") {
     val s = spark
     import s.implicits._

@@ -79,6 +79,50 @@ class IncrementalSpec extends SparkSpecBase {
     assert(state.canon.where(col("src") === 2 && col("dst") === 3).count() == 0)
   }
 
+  test("largest component keeps the subcommunity id on a split") {
+    // subcommunity 9 = {1,2,3,4,5} (id 9 is historical — no member is 9,
+    // exercising id stability rather than min-member relabeling) split
+    // into {1,2,3} (triangle) and {4,5}: the larger fragment must KEEP id
+    // 9 (hit_leiden.rs:352-370), the smaller gets a fresh id above the
+    // watermark
+    val canon = EdgeOps.compress(edges(
+      (1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (4L, 5L, 1.0)))
+    val adj = EdgeOps.symmetrize(canon)
+    val deg = EdgeOps.degrees(adj)
+    val s = spark
+    import s.implicits._
+    val assign = Seq((1L, 9L, 9L), (2L, 9L, 9L), (3L, 9L, 9L),
+      (4L, 9L, 9L), (5L, 9L, 9L)).toDF("v", "community", "subcomm")
+    val affected = Seq(3L, 4L).toDF("v")
+    val ref = Leiden.refinement(adj, deg, m2 = 8.0, assign, affected,
+      Leiden.Config(), graft.run.MetricsSink.discard, level = 0,
+      isInitial = false, freshIdBase = 100L)
+    val sc = toMapLL(ref.assign.select("v", "subcomm"))
+    assert(sc(1L) == 9L && sc(2L) == 9L && sc(3L) == 9L,
+      s"largest fragment lost its id: $sc")
+    assert(sc(4L) == 101L && sc(5L) == 101L, s"fresh id wrong: $sc")
+    assert(ref.freshUsed == 1L)
+    val refined = ref.refined.collect().map(_.getLong(0)).toSet
+    assert(refined == Set(4L, 5L))
+  }
+
+  test("superCanon invariant: state supergraph == contract(canon, subcomm)") {
+    val g = edges(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0), (5L, 3L, 1.0), (2L, 3L, 5.0))
+    var state = Incremental.initial(g)
+    state = Incremental.update(state, edges((2L, 3L, -5.0), (0L, 4L, 0.5)))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sc = state.assign.select(col("v"), col("subcomm"))
+    val expect = m(EdgeOps.compress(state.canon
+      .join(sc.select(col("v").as("src"), col("subcomm").as("su")), "src")
+      .join(sc.select(col("v").as("dst"), col("subcomm").as("sv")), "dst")
+      .select(col("su").as("src"), col("sv").as("dst"), col("weight"))))
+    val got = m(state.superCanon)
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
   test("insertion delta merges two components") {
     val g = edges((0L, 1L, 1.0), (1L, 2L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
     var state = Incremental.initial(g)
