@@ -78,7 +78,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "500000").toLong
+    // 1M vertices / 10.5M edges: large enough that the ~1 s fixed
+    // driver+scheduling cost per superstep no longer dominates the
+    // single-core leg (at 500k it capped measured efficiency at ~0.78
+    // even though the plan itself scales)
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
 
     // part 1: per-query timings at local[cpus]
     // (SPARK_GRAFT_SCALING_ONLY=1 skips it while tuning the scaling leg)
