@@ -33,6 +33,8 @@ object SparkEntry {
     "q_modularity" -> Queries.qModularity _,
     "q_cpm" -> Queries.qCpm _,
     "q_media_meta" -> Queries.qMediaMeta _,
+    "q_media_frames" -> Queries.qMediaFrames _,
+    "q_emb_dedup" -> Queries.qEmbDedup _,
   )
 
   /** DuckDB-runnable oracles over the same parquet tables. Non-SQL-
@@ -293,6 +295,20 @@ object SparkEntry {
            |SELECT round(win.w / mm.m - ss.ss / (4.0 * mm.m * mm.m), 6)
            |  AS modularity
            |FROM win, mm, ss""".stripMargin,
+
+      "q_emb_dedup" ->
+        """WITH e AS (
+          |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings
+          |)
+          |SELECT a.id AS id_a, b.id AS id_b,
+          |  round(list_dot_product(a.v, b.v) /
+          |    (sqrt(list_dot_product(a.v, a.v)) *
+          |     sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+          |FROM e a JOIN e b ON a.id < b.id
+          |WHERE round(list_dot_product(a.v, b.v) /
+          |    (sqrt(list_dot_product(a.v, a.v)) *
+          |     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35""".stripMargin,
 
       "q_cpm" ->
         s"""WITH RECURSIVE $ccPrelude,

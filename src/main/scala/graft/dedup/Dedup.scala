@@ -140,6 +140,51 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all pairs with
+    * cosine >= minCos (id_a < id_b). O(n^2) by construction — the
+    * correctness baseline for [[embeddingNearDupLsh]]; vectors are cast
+    * to double so the arithmetic is bit-reproducible against a SQL
+    * oracle. `emb`: (id, vec ARRAY<FLOAT>). */
+  def embeddingNearDupExact(emb: DataFrame, minCos: Double): DataFrame = {
+    import graft.ann.Ann
+    val a = emb.select(col("id").as("id_a"),
+      col("vec").cast("array<double>").as("va"))
+    val b = emb.select(col("id").as("id_b"),
+      col("vec").cast("array<double>").as("vb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: random-hyperplane
+    * LSH bands bucket the candidates (no cross join), exact cosine
+    * verifies. Recall < 1 by design — the price of scale; tune
+    * planes/bands for the target radius. */
+  def embeddingNearDupLsh(emb: DataFrame, minCos: Double, dim: Int,
+      planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    import graft.ann.Ann
+    require(planes % bands == 0)
+    val r = planes / bands
+    val mask = (1L << r) - 1
+    val sig = emb.select(col("id"),
+      col("vec").cast("array<double>").as("v"),
+      Ann.rhpSignature(col("vec"), dim, planes, seed).as("sig"))
+      .select(col("id"), col("v"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    sig.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("v").as("va"))
+      .join(sig.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+      .distinct()
+      .where(col("cos") >= minCos)
+  }
+
   /** Exact n-gram (word w-shingle) Jaccard for given candidate pairs
     * (id_a, id_b). One join per side plus a set-intersection groupBy. */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame,

@@ -97,12 +97,36 @@ object Queries {
     Seq(q).toDF("q").select(round(col("q"), 6).as("cpm"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (exact baseline, oracled; the
+    * LSH-bucketed variant is the 100 TB path — see
+    * [[graft.dedup.Dedup.embeddingNearDupLsh]]). */
+  def qEmbDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.embeddingNearDupExact(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      minCos = 0.35) // ~270 pairs at either SF of the synthetic table
+
   /** Multimodal metadata decode over the deterministic synthetic media
     * table (no external data; the codec is a documented stub — the Spark
     * plumbing is what this exercises). Rows-only driver check. */
   def qMediaMeta(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.decodeMeta(
       graft.multimodal.Multimodal.synthMedia(spark, 512)).toDF()
+
+  /** Frame sampling + feature extraction over the synthetic media table
+    * (rows-only): per media, sampled frame count and embedding norm of
+    * the extracted feature — exercises the one-row-in/k-rows-out and
+    * mapPartitions batch shapes end to end. */
+  def qMediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthMedia(spark, 512)
+    val frames = graft.multimodal.Multimodal.frameSample(media).toDF()
+      .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+    val feats = graft.multimodal.Multimodal.featureExtract(media).toDF()
+      .select(col("media_id"),
+        round(graft.ann.Ann.norm(col("embedding").cast("array<double>")), 4)
+          .as("feat_norm"))
+    frames.join(feats, "media_id")
+  }
 
   // --- training-data pipeline queries over `documents` -------------------
 

@@ -105,6 +105,33 @@ class DedupTextAnnSpec extends SparkSpecBase {
     assert(fp.map(_.toString).sorted.sameElements(fp2.map(_.toString).sorted))
   }
 
+  test("embedding near-dup: exact finds planted duplicates; LSH recalls them") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // 20 random vectors plus 3 planted near-duplicate pairs
+    val base = (0 until 20).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val planted = (0 until 3).map { i =>
+      val (_, v) = base(i)
+      (100L + i, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val emb = (base ++ planted).toDF("id", "vec")
+    val exact = graft.dedup.Dedup.embeddingNearDupExact(emb, minCos = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 3).foreach { i =>
+      assert(exact.contains((i.toLong, 100L + i)), s"missing pair $i: $exact")
+    }
+    // random 16-dim pairs at cos >= 0.95 are vanishingly unlikely
+    assert(exact.size <= 5, s"too many pairs: $exact")
+    val lsh = graft.dedup.Dedup.embeddingNearDupLsh(emb, minCos = 0.95,
+      dim = 16, planes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.65, s"lsh recall=$recall")
+    assert(lsh.subsetOf(exact)) // verify step never invents pairs
+  }
+
   test("ann: brute-force cosine top-k exact on a known configuration") {
     val s = spark
     import s.implicits._
