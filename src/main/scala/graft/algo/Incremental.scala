@@ -172,10 +172,19 @@ object Incremental {
           initial = Some(carried), initialSizes = sizes).assignment
       }
 
-    val out = assign.select(col("v"), col("subcomm"))
-      .join(superRes.select(col("v").as("subcomm"), col("community")),
-        "subcomm")
-      .select(col("v"), col("community"), col("subcomm"))
+    // LEFT join with a carried-community fallback: both solver paths
+    // derive their vertex set from supergraph EDGES, so a subcommunity a
+    // deletion batch left edge-free (an isolated supernode) never appears
+    // in superRes — an inner join would silently drop its vertices from
+    // the assignment. Isolated supernodes keep their carried community
+    // (they have no neighbors to merge with, so that IS the solve result).
+    val out = assign.select(col("v"), col("subcomm"),
+        col("community").as("oldComm"))
+      .join(superRes.select(col("v").as("subcomm"),
+        col("community").as("newComm")), Seq("subcomm"), "left")
+      .select(col("v"),
+        coalesce(col("newComm"), col("oldComm")).as("community"),
+        col("subcomm"))
       .ckpt
     mark("compose")
     out
@@ -273,10 +282,18 @@ object Incremental {
     val mv = Leiden.movement(adj, deg, m2, assign0, activated, cfg, sink, 0)
     mark("movement")
     val affected = k0.unionAll(mv.affected).distinct().ckpt
+    // the watermark must clear every vertex id seen so far INCLUDING the
+    // ones this batch introduced (they arrive as their own singleton
+    // subcomm/community ids): allocating fresh split ids from the stale
+    // state.maxId could alias a new vertex's id and silently contract two
+    // unrelated subcommunities together in the supergraph
+    val freshIdBase =
+      if (dIds.isEmpty) state.maxId
+      else math.max(state.maxId, dIds.max)
     val ref = Leiden.refinement(adj, deg, m2, mv.assign, affected, cfg, sink,
-      0, isInitial = false, freshIdBase = state.maxId)
+      0, isInitial = false, freshIdBase = freshIdBase)
     mark("refinement")
-    val maxId = state.maxId + ref.freshUsed
+    val maxId = freshIdBase + ref.freshUsed
     val assign1 = ref.assign
 
     // --- supergraph maintenance via the reference's delta machinery.

@@ -34,21 +34,35 @@ object LabelPropagation {
       sink: MetricsSink = MetricsSink.discard): Result = {
 
     val canon = EdgeOps.compress(edges).where(col("src") =!= col("dst"))
-    // static side partitioned by the per-round join key (see CC/PageRank)
-    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val adj = EdgeOps.symmetrize(canon).repartition(parts, col("dst")).ckpt
+      .ckpt
     val verts = vertices.map(_.select(col("v")).distinct())
       .getOrElse(EdgeOps.vertices(canon))
       .ckpt
+    // small vertex sets: broadcast the label table into the gather so the
+    // adjacency streams map-side every round — zero per-round shuffle of
+    // either table. The ckpt drops stats, so this must be explicit; gated
+    // on the (known) vertex count because at web scale the label table is
+    // V-sized and must shuffle.
+    val nVerts = verts.count()
+    val bcastLabels = nVerts <= 2_000_000L
+    // static side partitioned by the per-round join key (see CC/PageRank)
+    // — only worth a shuffle when the per-round join itself shuffles
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val adj0 = EdgeOps.symmetrize(canon)
+    val adj =
+      (if (bcastLabels) adj0 else adj0.repartition(parts, col("dst"))).ckpt
 
     var labels = verts.withColumn("label", col("v")).ckpt
     var it = 0
-    var done = verts.isEmpty
+    var done = nVerts == 0
     while (!done && it < maxIter) {
       val t0 = System.nanoTime()
-      val msgs = adj.join(labels.hint("shuffle_hash"),
-          adj("dst") === labels("v"))
-        .groupBy(adj("src").as("v"), col("label"))
+      val byDst = labels.select(col("v").as("dst"), col("label"))
+      val gathered =
+        if (bcastLabels) adj.join(broadcast(byDst), "dst")
+        else adj.join(byDst.hint("shuffle_hash"), "dst")
+      val msgs = gathered
+        .groupBy(col("src").as("v"), col("label"))
         .agg(sum(col("weight")).as("w"))
       // argmax weight, tie -> min label: max_by on (w, -label) is a single
       // hash agg, deterministic because (w, -label) pairs are unique per v

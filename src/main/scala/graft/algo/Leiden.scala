@@ -88,6 +88,16 @@ object Leiden {
       /** never local-solve below this level (level 0 = the base graph
         * stays distributed regardless of size). */
       localSolveMinLevel: Int = 1,
+      /** level-0 escape hatch below localSolveMinLevel: when > 0, a BASE
+        * graph with at most this many VERTICES (and <= localSolveEdges
+        * edges) is collected and solved sequentially too — a graph this
+        * small pays dozens of fixed-cost distributed BSP sweeps for work
+        * a single core clears in seconds, while level 0 of any real
+        * web-scale graph stays distributed (it can't pass the bound).
+        * Off by default so tests/benchmarks of the distributed path keep
+        * exercising it; callers that want the small-graph fast path (the
+        * driver queries) opt in explicitly. */
+      localSolveLevel0Verts: Long = 0,
       /** movement/refinement stop once a sweep's total applied gain (in
         * modularity units; scaled by m for CPM) falls below this — the
         * long tail of epsilon-gain churn costs a fixed-overhead Spark job
@@ -152,8 +162,10 @@ object Leiden {
       // top-of-hierarchy local solve: once the (super)graph is small the
       // sequential deterministic solver finishes the hierarchy in one
       // driver-side call instead of dozens of fixed-cost Spark jobs
-      if (cfg.localSolveEdges > 0 && level >= cfg.localSolveMinLevel &&
-          canon.count() <= cfg.localSolveEdges) {
+      if (cfg.localSolveEdges > 0 && canon.count() <= cfg.localSolveEdges &&
+          (level >= cfg.localSolveMinLevel ||
+            (cfg.localSolveLevel0Verts > 0 &&
+              EdgeOps.vertices(canon).count() <= cfg.localSolveLevel0Verts))) {
         val es = canon.select("src", "dst", "weight").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         val szM = carriedSize.map(_.collect()
@@ -444,8 +456,14 @@ object Leiden {
         // rewrite happens only every 4th sweep. Between flattens the
         // overlay depth is bounded, and warm updates stop paying a
         // vertex-table materialization per sweep.
-        val aNew0 = a.join(broadcast(moves.select("v", "newComm")),
-          Seq("v"), "left")
+        // The broadcast is gated on the APPLIED move count (known —
+        // collected above): cold-start first sweeps move a large fraction
+        // of all vertices, and an unconditional hint would bypass the
+        // autoBroadcast threshold and OOM executors at scale.
+        val movesSel = moves.select("v", "newComm")
+        val movesJ =
+          if (nMoves <= 5_000_000L) broadcast(movesSel) else movesSel
+        val aNew0 = a.join(movesJ, Seq("v"), "left")
           .select(col("v"),
             coalesce(col("newComm"), col("community")).as("community"),
             col("subcomm"))
@@ -707,8 +725,12 @@ object Leiden {
       moved = mstats.getLong(0)
       val gSum = if (mstats.isNullAt(1)) 0.0 else mstats.getDouble(1)
       if (moved > 0) {
-        // lazy overlay, flattened every other round (see movement)
-        a = a.join(broadcast(moves.select("v", "newSc")), Seq("v"), "left")
+        // lazy overlay, flattened every other round (see movement);
+        // broadcast gated on the applied merge count like movement's
+        val mergesSel = moves.select("v", "newSc")
+        val mergesJ =
+          if (moved <= 5_000_000L) broadcast(mergesSel) else mergesSel
+        a = a.join(mergesJ, Seq("v"), "left")
           .select(col("v"), col("community"),
             coalesce(col("newSc"), col("subcomm")).as("subcomm"))
         if (round % 2 == 1) a = a.ckpt

@@ -58,11 +58,21 @@ object TriangleCount {
       .select(col("e.u").as("u"), col("e.w").as("w"))
       .ckpt
 
+    // The ckpt drops plan statistics (GraftStatsReset), so Catalyst sees
+    // defaultSizeInBytes (128 MB) and never auto-broadcasts the oriented
+    // table even when it fits in one task. It is already materialized, so
+    // count it and broadcast explicitly below a row threshold (10M rows
+    // ~ 160 MB of two longs): the wedge join and the closing join then
+    // run map-side with zero shuffle of the wedge stream. Above the
+    // threshold (real web graphs) both joins shuffle as before.
+    val nOriented = oriented.count()
+    def side(df: DataFrame): DataFrame =
+      if (nOriented <= 10_000_000L) broadcast(df) else df
     val e1 = oriented.select(col("u").as("a"), col("w").as("b"))
     val e2 = oriented.select(col("u").as("b"), col("w").as("c"))
     val e3 = oriented.select(col("u").as("a2"), col("w").as("c2"))
-    val tris = e1.join(e2, "b")
-      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+    val tris = e1.join(side(e2), "b")
+      .join(side(e3), col("a") === col("a2") && col("c") === col("c2"))
       .select(col("a"), col("b"), col("c"))
 
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("v"))

@@ -14,12 +14,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  /** dot(a,b) as a column expression. */
+  /** dot(a,b) as a column expression (generic, any length). Higher-order
+    * functions are interpreted, not codegen'd — prefer [[dotN]] in hot
+    * per-pair paths when the dimension is statically known. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
       (acc, x) => acc + x)
 
+  /** dot(a,b) unrolled for a statically-known dimension: a foldLeft of
+    * element_at products seeded with 0.0 — the EXACT association of
+    * [[dot]]'s aggregate ((((0+x0)+x1)+...), so values are bit-identical —
+    * but as plain codegen'd scalar expressions instead of an interpreted
+    * HigherOrderFunction: ~an order of magnitude cheaper per pair. */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1))
+      .foldLeft(lit(0.0d))(_ + _)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normN(a: Column, dim: Int): Column = sqrt(dotN(a, a, dim))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -27,19 +40,31 @@ object Ann {
   /** Exact top-k cosine neighbors for each query vector (brute force —
     * the correctness baseline; O(|q|*|corpus|), use only for small |q|).
     * queries/corpus: (id, vec). Output: (query_id, neighbor_id, cos, rank).
+    *
+    * Norms are computed ONCE per row in the projections and carried into
+    * the pair scoring (`dot/(na*nb)` — the same arithmetic as [[cosine]],
+    * so values are bit-identical to the oracle's), instead of re-deriving
+    * both norms per candidate pair. `dim > 0` additionally switches the
+    * per-pair dot to the codegen'd unrolled form.
     */
-  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 0): DataFrame = {
     // vectors cast to double BEFORE any arithmetic: float-precision
     // products would diverge from a double-computing SQL oracle (and
     // double accumulation is the right numeric choice anyway)
+    def nrm(c: Column) = if (dim > 0) normN(c, dim) else norm(c)
+    def dp(a: Column, b: Column) =
+      if (dim > 0) dotN(a, b, dim) else dot(a, b)
     val q = queries.select(col("id").as("query_id"),
       col("vec").cast("array<double>").as("qv"))
+      .withColumn("qn", nrm(col("qv")))
     val c = corpus.select(col("id").as("neighbor_id"),
       col("vec").cast("array<double>").as("cv"))
+      .withColumn("cn", nrm(col("cv")))
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dp(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -72,22 +97,27 @@ object Ann {
     require(planes % bands == 0)
     val r = planes / bands
     val mask = (1L << r) - 1
-    def withBuckets(df: DataFrame, idName: String, vecName: String) =
+    // norms ride with the vectors through the banding (computed once per
+    // row, not once per candidate pair — see bruteTopK)
+    def withBuckets(df: DataFrame, idName: String, vecName: String,
+        nName: String) =
       df.select(col("id").as(idName),
         col("vec").cast("array<double>").as(vecName),
         rhpSignature(col("vec"), dim, planes, seed).as("sig"))
-        .select(col(idName), col(vecName),
+        .withColumn(nName, normN(col(vecName), dim))
+        .select(col(idName), col(vecName), col(nName),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val q = withBuckets(queries, "query_id", "qv")
-    val c = withBuckets(corpus, "neighbor_id", "cv")
+    val q = withBuckets(queries, "query_id", "qv", "qn")
+    val c = withBuckets(corpus, "neighbor_id", "cv", "cn")
     val cand = q.join(c, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        col("qn"), col("cn"))
       .distinct()
     val scored = cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qv"), col("cv")).as("cos"))
+      (dotN(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

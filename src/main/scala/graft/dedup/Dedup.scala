@@ -145,15 +145,26 @@ object Dedup {
     * correctness baseline for [[embeddingNearDupLsh]]; vectors are cast
     * to double so the arithmetic is bit-reproducible against a SQL
     * oracle. `emb`: (id, vec ARRAY<FLOAT>). */
-  def embeddingNearDupExact(emb: DataFrame, minCos: Double): DataFrame = {
+  def embeddingNearDupExact(emb: DataFrame, minCos: Double,
+      dim: Int = 0): DataFrame = {
     import graft.ann.Ann
+    // norms once per ROW (carried through the join), not per pair; with a
+    // statically-known dim the per-pair dot is the codegen'd unrolled
+    // form. Same arithmetic as Ann.cosine — values bit-identical to the
+    // SQL oracle.
+    def nrm(c: Column) = if (dim > 0) Ann.normN(c, dim) else Ann.norm(c)
+    def dp(x: Column, y: Column) =
+      if (dim > 0) Ann.dotN(x, y, dim) else Ann.dot(x, y)
     val a = emb.select(col("id").as("id_a"),
       col("vec").cast("array<double>").as("va"))
+      .withColumn("na", nrm(col("va")))
     val b = emb.select(col("id").as("id_b"),
       col("vec").cast("array<double>").as("vb"))
+      .withColumn("nb", nrm(col("vb")))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+        round(dp(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
       .where(col("cos") >= minCos)
   }
 
@@ -170,17 +181,19 @@ object Dedup {
     val sig = emb.select(col("id"),
       col("vec").cast("array<double>").as("v"),
       Ann.rhpSignature(col("vec"), dim, planes, seed).as("sig"))
-      .select(col("id"), col("v"),
+      .withColumn("n", Ann.normN(col("v"), dim))
+      .select(col("id"), col("v"), col("n"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     sig.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("v").as("va"))
+      col("v").as("va"), col("n").as("na"))
       .join(sig.select(col("band"), col("bucket"), col("id").as("id_b"),
-        col("v").as("vb")), Seq("band", "bucket"))
+        col("v").as("vb"), col("n").as("nb")), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+        round(Ann.dotN(col("va"), col("vb"), dim) / (col("na") * col("nb")),
+          6).as("cos"))
       .distinct()
       .where(col("cos") >= minCos)
   }

@@ -67,8 +67,13 @@ object Queries {
   def qLpa(spark: SparkSession, dir: String): DataFrame =
     LabelPropagation.run(lineitemGraph(spark, dir), maxIter = 10).labels
 
+  /** The derived graph has at most 1,500 vertices regardless of SF —
+    * exactly the shape the level-0 sequential bound exists for (dozens of
+    * fixed-cost BSP sweeps vs seconds on one core; the distributed path
+    * stays exercised by the test suite and any graph over the bound). */
   def qLeiden(spark: SparkSession, dir: String): DataFrame =
-    Leiden.run(lineitemGraph(spark, dir)).assignment
+    Leiden.run(lineitemGraph(spark, dir),
+      Leiden.Config(localSolveLevel0Verts = 100000)).assignment
 
   def qTrianglesPerVertex(spark: SparkSession, dir: String): DataFrame =
     TriangleCount.perVertex(lineitemGraph(spark, dir))
@@ -104,7 +109,7 @@ object Queries {
     graft.dedup.Dedup.embeddingNearDupExact(
       spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
-      minCos = 0.35) // ~270 pairs at either SF of the synthetic table
+      minCos = 0.35, dim = 64) // ~270 pairs at either SF
 
   /** Multimodal metadata decode over the deterministic synthetic media
     * table (no external data; the codec is a documented stub — the Spark
@@ -176,7 +181,7 @@ object Queries {
   def qAnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    graft.ann.Ann.bruteTopK(emb.where(col("id") < 10), emb, k = 5)
+    graft.ann.Ann.bruteTopK(emb.where(col("id") < 10), emb, k = 5, dim = 64)
   }
 
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {

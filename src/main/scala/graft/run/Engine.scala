@@ -60,7 +60,12 @@ object Engine {
           n <= cfg.leiden.localSolveEdges,
           s"deterministic mode requires <= ${cfg.leiden.localSolveEdges} " +
             s"edges (got $n) — use throughput mode at scale")
-        cfg.leiden.copy(localSolveMinLevel = 0)
+        // exact-identity semantics (equivalence.rs:14-20): the reference's
+        // sequential loop runs uncapped to a true fixpoint — disable the
+        // epsilon-gain floor and lift the sweep cap so deterministic mode
+        // matches it, not just a deterministic approximation of it
+        cfg.leiden.copy(localSolveMinLevel = 0, minSweepGain = 0.0,
+          maxSweeps = Int.MaxValue / 8)
       } else cfg.leiden
     val r = Leiden.run(edges, leidenCfg, sink)
     val out = Outcome(r.assignment, r.modularity, r.communityCount,

@@ -23,15 +23,29 @@ object Validate {
     * under BSP movement a founder vertex v can legitimately leave
     * community v in the same sweep another vertex joins it — the
     * algorithm only guarantees ids come from the vertex id space. */
-  def invariants(assign: DataFrame): Outcome = {
+  def invariants(assign: DataFrame): Outcome = invariants(assign, -1L)
+
+  /** Incremental-aware variant: with largest-keeps-id splits and
+    * watermark-allocated fresh ids, a community id can be *historical*
+    * (its eponymous vertex was deleted) or *synthetic* (allocated above
+    * the id watermark) — both live in [0, maxId]. Pass the state's id
+    * watermark to accept them; `maxId < 0` keeps the strict cold-start
+    * rule (ids must be current vertex ids). */
+  def invariants(assign: DataFrame, maxId: Long): Outcome = {
     val n = assign.count()
     val distinctV = assign.select("v").distinct().count()
     if (n != distinctV)
       return Outcome(ok = false, s"duplicate assignments: $n rows, $distinctV vertices")
-    val badIds = assign.select(col("community").as("v")).distinct()
-      .join(assign.select("v").distinct(), Seq("v"), "left_anti").count()
+    val commIds = assign.select(col("community").as("v")).distinct()
+    val outOfVerts = commIds
+      .join(assign.select("v").distinct(), Seq("v"), "left_anti")
+    val bad = if (maxId < 0) outOfVerts
+      else outOfVerts.where(col("v") > maxId || col("v") < 0)
+    val badIds = bad.count()
     if (badIds != 0)
-      return Outcome(ok = false, s"$badIds community ids are not vertex ids")
+      return Outcome(ok = false, s"$badIds community ids are outside the " +
+        s"allowed id space (vertex ids" +
+        (if (maxId >= 0) s" plus [0, $maxId])" else ")"))
     Outcome(ok = true, "ok")
   }
 
