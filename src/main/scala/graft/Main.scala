@@ -21,15 +21,14 @@ import graft.graph.EdgeOps
   * iterations) — the analog of the reference's report writer.
   */
 object Main {
-  def main(args: Array[String]): Unit = {
+
+  /** The CLI body against a caller-owned session — separated from main()
+    * so it is testable without creating/stopping a global session.
+    * Returns (quality, communityCount, iterations, batch) when the
+    * subcommand produces an outcome. */
+  def runCli(spark: SparkSession,
+      args: Array[String]): Option[(Double, Long, Int, Int)] = {
     require(args.length >= 2, "usage: run|update|resume <args...>")
-    val spark = SparkSession.builder()
-      .appName("graft")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     def cfg(root: String, rest: Array[String]) = Engine.Config(
       leiden = Leiden.Config(
@@ -38,7 +37,7 @@ object Main {
       checkpointRoot = Some(root), runId = "run-0",
       mode = rest.lift(2).getOrElse("throughput"))
 
-    val out = args(0) match {
+    args(0) match {
       case "run" =>
         val edges = EdgeOps.readParquet(spark, args(1))
         val o = Engine.run(edges, cfg(args(2), args.drop(3)))
@@ -52,6 +51,17 @@ object Main {
           .map { df => (Double.NaN, df.count(), 0, -1) }
       case other => throw new IllegalArgumentException(s"unknown: $other")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = runCli(spark, args)
     out.foreach { case (q, c, it, b) =>
       println(s"""{"run_id":"run-0","batch":$b,"quality":$q,""" +
         s""""community_count":$c,"iterations":$it}""")

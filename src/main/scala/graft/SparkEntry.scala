@@ -35,13 +35,15 @@ object SparkEntry {
     "q_media_meta" -> Queries.qMediaMeta _,
     "q_media_frames" -> Queries.qMediaFrames _,
     "q_emb_dedup" -> Queries.qEmbDedup _,
+    "q_lsh_recall" -> Queries.qLshRecall _,
   )
 
   /** DuckDB-runnable oracles over the same parquet tables. Non-SQL-
     * expressible ops are omitted -> rows-only check: q_leiden (iterative
     * heuristic), q_minhash_lsh / q_simhash_near / q_fingerprint /
     * q_ann_lsh (xxhash64 has no DuckDB equivalent), q_media_meta
-    * (synthetic in-engine table). */
+    * (synthetic in-engine table), q_lsh_recall (self-checking: the row
+    * values ARE the planted-recall evidence). */
   def oracleSql: Map[String, String] = {
     val g = Queries.graphSqlPrelude
 

