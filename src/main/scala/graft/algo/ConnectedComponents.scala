@@ -29,27 +29,47 @@ object ConnectedComponents {
   /** @param edges canonical or raw undirected edge table (src, dst[, weight])
     * @param vertices optional vertex universe; isolated vertices become
     *   their own singleton components.
+    * @param localSolveVerts when > 0, a graph with at most this many
+    *   vertices (and a bounded edge count) is collected and solved with a
+    *   driver-side union-find — identical min-member labels, one job
+    *   instead of O(log n) fixed-cost supersteps. Off by default so the
+    *   distributed path stays the tested default; tiny-graph callers
+    *   (driver queries) opt in. Any web-scale graph fails the bound and
+    *   stays distributed.
     */
   def run(
       edges: DataFrame,
       vertices: Option[DataFrame] = None,
       maxIter: Int = 50,
-      sink: MetricsSink = MetricsSink.discard): Result = {
+      sink: MetricsSink = MetricsSink.discard,
+      localSolveVerts: Long = 0): Result = {
 
     val canon = edges
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .ckpt
+    val verts = vertices.map(_.select(col("v")).distinct())
+      .getOrElse(EdgeOps.vertices(canon))
+      .ckpt
+
+    if (localSolveVerts > 0 && verts.count() <= localSolveVerts &&
+        canon.count() <= 10_000_000L) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val vs = verts.collect().map(_.getLong(0))
+      val es = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return Result(
+        LocalLeiden.localComponents(vs, es).toSeq.toDF("v", "component"), 1)
+    }
+
     // partition the static adjacency by the per-round join key (dst) so
     // each round shuffles only the labels table, not the edges
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val adj = canon.select(col("src"), col("dst"))
       .unionAll(canon.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("dst"))
-      .ckpt
-    val verts = vertices.map(_.select(col("v")).distinct())
-      .getOrElse(EdgeOps.vertices(canon))
       .ckpt
 
     var labels = verts.withColumn("component", col("v")).ckpt

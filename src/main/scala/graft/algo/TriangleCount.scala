@@ -19,22 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object TriangleCount {
 
-  /** Total triangle count in the graph. */
-  def total(edges: DataFrame): Long = {
-    val r = perVertexInternal(edges).agg(sum("triangles")).collect()(0)
-    if (r.isNullAt(0)) 0L else r.getLong(0) / 3
-  }
+  /** Total triangle count in the graph: a straight count of the closed
+    * oriented wedge stream — no explode, no per-vertex aggregation. */
+  def total(edges: DataFrame): Long = triangles(edges).count()
 
   /** (v, triangles): number of triangles each vertex participates in.
     * Vertices in no triangle (including isolated ones in `edges`) get 0.
     */
   def perVertex(edges: DataFrame): DataFrame = {
     val verts = graft.graph.EdgeOps.vertices(edges)
-    verts.join(perVertexInternal(edges), Seq("v"), "left")
+    val perV = triangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    verts.join(perV, Seq("v"), "left")
       .select(col("v"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
-  private def perVertexInternal(edges: DataFrame): DataFrame = {
+  /** Each triangle once as (a, b, c). */
+  private def triangles(edges: DataFrame): DataFrame = {
     val simple = edges
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
@@ -71,11 +73,8 @@ object TriangleCount {
     val e1 = oriented.select(col("u").as("a"), col("w").as("b"))
     val e2 = oriented.select(col("u").as("b"), col("w").as("c"))
     val e3 = oriented.select(col("u").as("a2"), col("w").as("c2"))
-    val tris = e1.join(side(e2), "b")
+    e1.join(side(e2), "b")
       .join(side(e3), col("a") === col("a2") && col("c") === col("c2"))
       .select(col("a"), col("b"), col("c"))
-
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("triangles"))
   }
 }

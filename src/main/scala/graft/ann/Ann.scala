@@ -55,13 +55,18 @@ object Ann {
     def nrm(c: Column) = if (dim > 0) normN(c, dim) else norm(c)
     def dp(a: Column, b: Column) =
       if (dim > 0) dotN(a, b, dim) else dot(a, b)
+    // broadcast the small QUERY side (the brute-force contract) and
+    // spread the corpus — a small parquet corpus otherwise arrives as one
+    // partition and the whole O(|q|*|c|) evaluation runs in a single task
+    val parts = queries.sparkSession.sessionState.conf.numShufflePartitions
     val q = queries.select(col("id").as("query_id"),
       col("vec").cast("array<double>").as("qv"))
       .withColumn("qn", nrm(col("qv")))
     val c = corpus.select(col("id").as("neighbor_id"),
       col("vec").cast("array<double>").as("cv"))
       .withColumn("cn", nrm(col("cv")))
-    val scored = q.crossJoin(c)
+      .repartition(parts)
+    val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dp(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
@@ -111,13 +116,15 @@ object Ann {
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val q = withBuckets(queries, "query_id", "qv", "qn")
     val c = withBuckets(corpus, "neighbor_id", "cv", "cn")
-    val cand = q.join(c, Seq("band", "bucket"))
+    // score each banded candidate directly (the dot is cheap codegen now)
+    // and dedupe multi-band collisions by ID with max(cos) — identical
+    // per-pair values, and a scalar-key aggregation instead of a
+    // distinct() that hashes two 64-double arrays per row
+    val scored = q.join(c, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
-        col("qn"), col("cn"))
-      .distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      (dotN(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotN(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

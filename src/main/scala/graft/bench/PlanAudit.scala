@@ -55,6 +55,36 @@ object PlanAudit {
         .select(col("dst").as("v"), (col("share") * col("rank")).as("c"))
         .groupBy("v").agg(sum("c").as("mass"))
     }
+
+    // 4. triangle wedge join: the small oriented table must BROADCAST
+    //    (ckpt drops stats, so this is an explicit gate — round-2 bug)
+    section("triangle count wedge join (broadcast both closing sides)") {
+      graft.queries.Queries.qTrianglesPerVertex(spark, dir)
+    }
+
+    // 5. embedding near-dup pair scoring: norms once per row in the
+    //    projections, per-pair dot fully inside WholeStageCodegen
+    section("embedding near-dup exact (carried norms, unrolled dot)") {
+      graft.queries.Queries.qEmbDedup(spark, dir)
+    }
+
+    // 6. LPA gather: label table broadcast for small vertex sets -> the
+    //    adjacency streams map-side, no per-round shuffle of either table
+    //    (one explicit round; the run() loop consumes the same shape)
+    section("label propagation round (broadcast gather)") {
+      val edges = graft.queries.Queries.lineitemGraph(spark, dir)
+      val canon = EdgeOps.compress(edges).where(col("src") =!= col("dst"))
+        .ckpt
+      val adj = EdgeOps.symmetrize(canon).ckpt
+      val labels = EdgeOps.vertices(canon).withColumn("label", col("v")).ckpt
+      val byDst = labels.select(col("v").as("dst"), col("label"))
+      adj.join(broadcast(byDst), "dst")
+        .groupBy(col("src").as("v"), col("label"))
+        .agg(sum(col("weight")).as("w"))
+        .groupBy("v")
+        .agg(max_by(col("label"), struct(col("w"), negate(col("label"))))
+          .as("newLabel"))
+    }
     spark.stop()
   }
 }

@@ -155,13 +155,20 @@ object Dedup {
     def nrm(c: Column) = if (dim > 0) Ann.normN(c, dim) else Ann.norm(c)
     def dp(x: Column, y: Column) =
       if (dim > 0) Ann.dotN(x, y, dim) else Ann.dot(x, y)
+    // a small parquet source arrives as ONE partition; without the
+    // repartition the whole O(n^2) pair evaluation runs in a single task.
+    // Spread the stream side across the session's parallelism and
+    // broadcast the build side (it is small by precondition — this is
+    // the labeled exact baseline, never the scale path).
+    val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
     val a = emb.select(col("id").as("id_a"),
       col("vec").cast("array<double>").as("va"))
       .withColumn("na", nrm(col("va")))
+      .repartition(parts)
     val b = emb.select(col("id").as("id_b"),
       col("vec").cast("array<double>").as("vb"))
       .withColumn("nb", nrm(col("vb")))
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
+    a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dp(col("va"), col("vb")) / (col("na") * col("nb")), 6)
           .as("cos"))
@@ -194,8 +201,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Ann.dotN(col("va"), col("vb"), dim) / (col("na") * col("nb")),
           6).as("cos"))
+      .where(col("cos") >= minCos) // filter BEFORE the dedup shuffle
       .distinct()
-      .where(col("cos") >= minCos)
   }
 
   /** Exact n-gram (word w-shingle) Jaccard for given candidate pairs

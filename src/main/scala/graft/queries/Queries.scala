@@ -58,7 +58,8 @@ object Queries {
   }
 
   def qCc(spark: SparkSession, dir: String): DataFrame =
-    ConnectedComponents.run(lineitemGraph(spark, dir)).components
+    ConnectedComponents.run(lineitemGraph(spark, dir),
+      localSolveVerts = 100000).components
 
   def qPagerank(spark: SparkSession, dir: String): DataFrame =
     PageRank.run(lineitemGraph(spark, dir), numIter = 5, tol = 0.0)
@@ -84,7 +85,8 @@ object Queries {
   def qModularity(spark: SparkSession, dir: String): DataFrame = {
     val g = lineitemGraph(spark, dir)
     val canon = EdgeOps.compress(g)
-    val assign = ConnectedComponents.run(g).components
+    val assign = ConnectedComponents.run(g, localSolveVerts = 100000)
+      .components
       .select(col("v"), col("component").as("community"))
     val q = Quality.modularity(canon, assign)
     import spark.implicits._
@@ -95,7 +97,8 @@ object Queries {
   def qCpm(spark: SparkSession, dir: String): DataFrame = {
     val g = lineitemGraph(spark, dir)
     val canon = EdgeOps.compress(g)
-    val assign = ConnectedComponents.run(g).components
+    val assign = ConnectedComponents.run(g, localSolveVerts = 100000)
+      .components
       .select(col("v"), col("component").as("community"))
     val q = Quality.cpm(canon, assign)
     import spark.implicits._

@@ -123,6 +123,32 @@ class IncrementalSpec extends SparkSpecBase {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("fresh split ids never alias vertex ids the batch itself introduced") {
+    // initial graph tops out at id 5 (watermark 5). The batch introduces
+    // NEW vertices 6,7,8 AND disconnects vertex 1 from its subcommunity,
+    // forcing a fresh split id. Pre-fix, the fresh id was allocated at
+    // watermark+1 = 6 — exactly new vertex 6's singleton subcomm id — and
+    // the supergraph contraction silently glued {1} to {6,7,8}.
+    val g = edges(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 1.0),
+      (3L, 4L, 1.0), (3L, 5L, 1.0), (4L, 5L, 1.0))
+    var state = Incremental.initial(g)
+    state = Incremental.update(state, edges(
+      (6L, 7L, 1.0), (6L, 8L, 1.0), (7L, 8L, 1.0),
+      (0L, 1L, -1.0), (1L, 2L, -1.0)))
+    val comm = toMapLL(state.assign.select(col("v"), col("community")))
+    // vertex 1 is now edge-free: it must sit alone, NOT inside the new
+    // 6-7-8 triangle's community
+    assert(comm(1L) != comm(6L) && comm(1L) != comm(7L) &&
+      comm(1L) != comm(8L), s"aliased fresh id glued 1 to {6,7,8}: $comm")
+    assert(comm(6L) == comm(7L) && comm(7L) == comm(8L), s"comm=$comm")
+    assert(comm(0L) == comm(2L), s"comm=$comm")
+    // the watermark advanced past both the new vertex ids and the split
+    assert(state.maxId >= 8L, s"maxId=${state.maxId}")
+    // isolated-supernode fallback: vertex 1 still has an assignment row
+    assert(state.assign.where(col("v") === 1L).count() == 1)
+  }
+
   test("insertion delta merges two components") {
     val g = edges((0L, 1L, 1.0), (1L, 2L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
     var state = Incremental.initial(g)
