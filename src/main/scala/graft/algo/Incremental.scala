@@ -128,8 +128,10 @@ object Incremental {
       System.err.println(f"[sup] $phase%-14s ${(now - tMark) / 1e9}%.2fs")
       tMark = now
     }
+    // lazy: the local-solve path collects it in ONE action; only the
+    // distributed path (which reads it several times) checkpoints it
     val carried0 = assign.groupBy(col("subcomm").as("v"))
-      .agg(min(col("community")).as("community")).ckpt
+      .agg(min(col("community")).as("community"))
     mark("carried-agg")
 
     val superRes =
@@ -156,11 +158,12 @@ object Incremental {
         mark("toDF")
         out
       } else {
-        val superNodes = carried0.select("v")
+        val carriedCk = carried0.ckpt
+        val superNodes = carriedCk.select("v")
         val intraSuper = superCanon
-          .join(carried0.select(col("v").as("src"),
+          .join(carriedCk.select(col("v").as("src"),
             col("community").as("cu")), "src")
-          .join(carried0.select(col("v").as("dst"),
+          .join(carriedCk.select(col("v").as("dst"),
             col("community").as("cv")), "dst")
           .where(col("cu") === col("cv"))
           .select("src", "dst")
