@@ -583,22 +583,29 @@ object Leiden {
       // to intra-subcommunity edges)
       val affScs = a.join(affected.select("v"), Seq("v"), "left_semi")
         .select(col("subcomm")).distinct().ckpt
-      val members = a.join(affScs, Seq("subcomm"), "left_semi")
+      // members of affected subcommunities: delta-bound on warm updates.
+      // When the set is small, its label projections broadcast into the
+      // intra-edge extraction so the big adjacency streams map-side —
+      // the unconditional form sort-merge-joined the full adjacency
+      // against the full assignment twice per batch.
+      val members = a.join(affScs, Seq("subcomm"), "left_semi").ckpt
+      val membersV = members.select("v")
+      val nMembers = members.count()
+      def mb(df: DataFrame): DataFrame =
+        if (nMembers <= 5_000_000L) broadcast(df) else df
       val intra = adj
-        .join(a.select(col("v").as("src"), col("subcomm").as("scu")), "src")
-        .join(a.select(col("v").as("dst"), col("subcomm").as("scv")), "dst")
+        .join(mb(members.select(col("v").as("src"),
+          col("subcomm").as("scu"))), "src")
+        .join(mb(members.select(col("v").as("dst"),
+          col("subcomm").as("scv"))), "dst")
         .where(col("scu") === col("scv"))
-        .join(affScs.withColumnRenamed("subcomm", "scu"), Seq("scu"),
-          "left_semi")
         .where(col("src") < col("dst")) // canonical, drop self-loops
         .select("src", "dst")
       // batch-sized affected subgraphs resolve their components in a
       // driver-side union-find — distributed hash-min CC on a few
       // thousand rows is several fixed-cost jobs for nothing
-      val membersV = members.select("v").ckpt
       val comps = // (v, component = min member id)
-        if (cfg.localSolveEdges > 0 &&
-            membersV.count() <= cfg.localSolveEdges) {
+        if (cfg.localSolveEdges > 0 && nMembers <= cfg.localSolveEdges) {
           import spark.implicits._
           val vs = membersV.collect().map(_.getLong(0))
           val es = intra.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -614,7 +621,8 @@ object Leiden {
       // caller's watermark. The fresh-rank window is global but bounded
       // by the number of SPLIT fragments this batch (delta-sized).
       import org.apache.spark.sql.expressions.Window
-      val withSc = comps.join(a.select(col("v"), col("subcomm")), "v")
+      // comps vertices are exactly the members set — join the small table
+      val withSc = comps.join(members.select(col("v"), col("subcomm")), "v")
       val compSizes = withSc.groupBy("subcomm", "component")
         .agg(count(lit(1)).as("n")).ckpt
       val wKeep = Window.partitionBy("subcomm")
@@ -631,8 +639,8 @@ object Leiden {
       freshUsed = freshComps.count()
       val scMap = keepers.unionAll(freshComps)
       val relabeled = a
-        .join(withSc.select(col("v"), col("component")), Seq("v"), "left")
-        .join(scMap, Seq("subcomm", "component"), "left")
+        .join(mb(withSc.select(col("v"), col("component"))), Seq("v"), "left")
+        .join(mb(scMap), Seq("subcomm", "component"), "left")
         .select(col("v"), col("community"),
           coalesce(col("newSc"), col("subcomm")).as("newSc"),
           col("subcomm"))

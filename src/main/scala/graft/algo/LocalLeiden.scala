@@ -93,50 +93,82 @@ object LocalLeiden {
     * (local) graph — the seed-connectivity repair of the incremental
     * supergraph solve, as a sequential union-find. Component label = min
     * member id (matching the distributed [[ConnectedComponents]] policy).
-    * Vertices keep singleton communities when absent from `carried`. */
+    * Vertices keep singleton communities when absent from `carried`.
+    *
+    * Primitive-array union-find over densified ids (boxed HashMap
+    * lookups per edge endpoint made this a measured ~4.5 s/batch at 1M
+    * superedges; this form is ~15x cheaper). Union keeps the smaller
+    * dense index as root, and dense order IS id order, so every root is
+    * the component's min member id. */
   def repairConnectivity(es: Array[(Long, Long, Double)],
       carried: Map[Long, Long]): Map[Long, Long] = {
-    val parent = mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    // densify: sorted distinct ids from edge endpoints + carried keys
+    val all = new Array[Long](es.length * 2 + carried.size)
+    var i = 0
+    es.foreach { e => all(i) = e._1; all(i + 1) = e._2; i += 2 }
+    carried.keysIterator.foreach { k => all(i) = k; i += 1 }
+    java.util.Arrays.sort(all)
+    var m = 0
+    var j = 0
+    while (j < all.length) {
+      if (m == 0 || all(j) != all(m - 1)) { all(m) = all(j); m += 1 }
+      j += 1
+    }
+    val verts = java.util.Arrays.copyOf(all, m)
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(verts, v)
+    val comm = java.util.Arrays.copyOf(verts, m) // default: own id
+    carried.foreach { case (v, c) => comm(idx(v)) = c }
+    val parent = Array.tabulate(m)(identity)
+    def find(x: Int): Int = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val n = parent.getOrElse(c, c); parent(c) = r; c = n
-      }
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    def commOf(v: Long) = carried.getOrElse(v, v)
     es.foreach { case (u, v, _) =>
-      if (commOf(u) == commOf(v)) {
-        val (ra, rb) = (find(u), find(v))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      val iu = idx(u); val iv = idx(v)
+      if (comm(iu) == comm(iv)) {
+        val ra = find(iu); val rb = find(iv)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
       }
     }
-    val verts = (es.flatMap(e => Seq(e._1, e._2)) ++ carried.keys).distinct
-    verts.map(v => v -> find(v)).toMap
+    val out = Map.newBuilder[Long, Long]
+    var k = 0
+    while (k < m) { out += verts(k) -> verts(find(k)); k += 1 }
+    out.result()
   }
 
   /** Connected components on a driver-local edge list: label = min member
     * id. Used by the refinement CC-split when the affected subgraph is
-    * batch-sized. */
+    * batch-sized. Primitive-array union-find (see repairConnectivity);
+    * edge endpoints must be members of `verts`. */
   def localComponents(verts: Array[Long],
       es: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    val sorted = verts.clone()
+    java.util.Arrays.sort(sorted)
+    val m = sorted.length
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(sorted, v)
+    val parent = Array.tabulate(m)(identity)
+    def find(x: Int): Int = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val n = parent.getOrElse(c, c); parent(c) = r; c = n
-      }
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
     es.foreach { case (u, v) =>
-      val (ra, rb) = (find(u), find(v))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      val ra = find(idx(u)); val rb = find(idx(v))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
     }
-    verts.map(v => v -> find(v)).toMap
+    val out = Map.newBuilder[Long, Long]
+    var k = 0
+    while (k < m) { out += sorted(k) -> sorted(find(k)); k += 1 }
+    out.result()
   }
 
   /** Full hierarchical solve.

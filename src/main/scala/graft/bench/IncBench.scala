@@ -54,8 +54,17 @@ object IncBench {
     val doCold = !sys.env.get("SPARK_GRAFT_INC_COLD").contains("0")
     val rows = batches.zipWithIndex.map { case (b, i) =>
       cumulative = cumulative.unionAll(b).localCheckpoint(true)
+      val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
+      val sink =
+        if (debugT) new graft.run.MetricsSink else graft.run.MetricsSink.discard
       val (next, tWarm) = secs {
-        val s = Incremental.update(state, b); s.assign.count(); s
+        val s = Incremental.update(state, b, sink = sink)
+        s.assign.count(); s
+      }
+      if (debugT) sink.all.foreach { it =>
+        System.err.println(f"[it] ${it.algo}%-18s lvl=${it.level} " +
+          f"i=${it.iteration} moves=${it.movesAccepted} " +
+          f"frontier=${it.frontier} ${it.seconds}%.2fs")
       }
       state = next
       val (cold, tCold) =
