@@ -79,15 +79,28 @@ object Ann {
 
   /** Deterministic random-hyperplane signature: `planes` sign bits, plane
     * j's i-th component is +-1 from xxhash64(seed, j, i). Vectors close in
-    * cosine share sign bits with high probability. */
+    * cosine share sign bits with high probability.
+    *
+    * The sign constants are folded driver-side by EVALUATING the same
+    * literal xxhash64 expression Catalyst would have constant-folded:
+    * identical signature values, but the plan carries dim*planes literal
+    * doubles instead of that many when(pmod(xxhash64(...))) subtrees —
+    * which the optimizer re-folded on EVERY query at a measured ~1-3 s
+    * of pure planning time for 64x16. */
   def rhpSignature(vec: Column, dim: Int, planes: Int,
       seed: Long = 42L): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val signs = Array.tabulate(planes, dim) { (j, i) =>
+      // the exact value of pmod(xxhash64(lit(seed), lit(j), lit(i)), 2):
+      // same XxHash64 expression (default seed 42, Long/Int/Int children)
+      // evaluated eagerly; pmod on a positive modulus is floorMod
+      val h = XxHash64(Seq(Literal(seed), Literal(j), Literal(i)), 42L)
+        .eval(null).asInstanceOf[Long]
+      if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0d else -1.0d
+    }
     val bits = (0 until planes).map { j =>
       val s = (0 until dim).map { i =>
-        val sign = when(
-          pmod(xxhash64(lit(seed), lit(j), lit(i)), lit(2)) === 0,
-          lit(1.0d)).otherwise(lit(-1.0d))
-        element_at(vec, i + 1).cast("double") * sign
+        element_at(vec, i + 1).cast("double") * lit(signs(j)(i))
       }.reduce(_ + _)
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }
