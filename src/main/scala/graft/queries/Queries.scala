@@ -214,27 +214,29 @@ object Queries {
       array_join(filter(split(col("text"), "\\s+"),
         (t, i) => pmod(i, lit(15)) =!= lit(0)), " ").as("text"))
     val allDocs = docs0.unionAll(perturbedDocs).localCheckpoint(true)
-    def plantedFound(pairs: DataFrame): Long =
-      pairs.where(col("id_b") === col("id_a") + off).count()
-    val mhFound = plantedFound(graft.dedup.Dedup.minhashLshPairs(
-      allDocs, numHashes = 32, bands = 8))
-    val shFound = plantedFound(graft.dedup.Dedup.simhashNearPairs(
-      allDocs, maxHamming = 8))
+    def plantedOnly(pairs: DataFrame, family: String): DataFrame =
+      pairs.where(col("id_b") === col("id_a") + off)
+        .select(lit(family).as("family"))
+    val mh = plantedOnly(graft.dedup.Dedup.minhashLshPairs(
+      allDocs, numHashes = 32, bands = 8), "minhash_lsh")
+    val sh = plantedOnly(graft.dedup.Dedup.simhashNearPairs(
+      allDocs, maxHamming = 8), "simhash_near")
 
     // embeddings: deterministic per-element +-5% multiplicative jitter
     // (cosine vs the original ~0.999 — well above the 0.9 cut)
+    def jitter(df: DataFrame): DataFrame =
+      df.select((col("id") + off).as("id"),
+        transform(col("vec"), (x, i) => x * (lit(0.95) +
+          pmod(xxhash64(i, lit(7)), lit(1000)).cast("double") /
+            lit(10000.0))).as("vec"))
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
       .where(col("vec_id") < 100)
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("vec"))
     val nEmb = emb0.count()
-    val jittered = emb0.select((col("id") + off).as("id"),
-      transform(col("vec"), (x, i) => x * (lit(0.95) +
-        pmod(xxhash64(i, lit(7)), lit(1000)).cast("double") / lit(10000.0)))
-        .as("vec"))
-    val allEmb = emb0.unionAll(jittered).localCheckpoint(true)
-    val elFound = plantedFound(graft.dedup.Dedup.embeddingNearDupLsh(
-      allEmb, minCos = 0.9, dim = 64))
+    val allEmb = emb0.unionAll(jitter(emb0)).localCheckpoint(true)
+    val el = plantedOnly(graft.dedup.Dedup.embeddingNearDupLsh(
+      allEmb, minCos = 0.9, dim = 64), "embedding_lsh")
 
     // ANN: does the LSH top-5 retrieve each query's planted NEAR neighbor
     // (its jittered copy, cosine ~0.999)? That is the property LSH
@@ -244,20 +246,23 @@ object Queries {
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("vec"))
     val queries = corpus0.where(col("id") < 20)
-    val plantedNbrs = queries.select((col("id") + off).as("id"),
-      transform(col("vec"), (x, i) => x * (lit(0.95) +
-        pmod(xxhash64(i, lit(7)), lit(1000)).cast("double") / lit(10000.0)))
-        .as("vec"))
-    val corpus = corpus0.unionAll(plantedNbrs).localCheckpoint(true)
+    val corpus = corpus0.unionAll(jitter(queries)).localCheckpoint(true)
     val nQ = queries.count()
-    val annFound = graft.ann.Ann.lshTopK(queries, corpus, k = 5, dim = 64)
-      .where(col("neighbor_id") === col("query_id") + off).count()
+    val ann = graft.ann.Ann.lshTopK(queries, corpus, k = 5, dim = 64)
+      .where(col("neighbor_id") === col("query_id") + off)
+      .select(lit("ann_lsh_top5").as("family"))
+
+    // ONE action evaluates all four pipelines (they were ~12 sequential
+    // fixed-cost jobs when counted independently)
+    val found = mh.unionAll(sh).unionAll(el).unionAll(ann)
+      .groupBy("family").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
     Seq(
-      ("minhash_lsh", nDocs, mhFound, 0.65),
-      ("simhash_near", nDocs, shFound, 0.65),
-      ("embedding_lsh", nEmb, elFound, 0.65),
-      ("ann_lsh_top5", nQ, annFound, 0.65))
+      ("minhash_lsh", nDocs, found.getOrElse("minhash_lsh", 0L), 0.65),
+      ("simhash_near", nDocs, found.getOrElse("simhash_near", 0L), 0.65),
+      ("embedding_lsh", nEmb, found.getOrElse("embedding_lsh", 0L), 0.65),
+      ("ann_lsh_top5", nQ, found.getOrElse("ann_lsh_top5", 0L), 0.65))
       .toDF("family", "planted", "found", "threshold")
       .select(col("family"), col("planted"), col("found"),
         round(col("found").cast("double") / col("planted"), 4).as("recall"),

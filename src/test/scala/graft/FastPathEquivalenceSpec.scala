@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algo.{ConnectedComponents, TriangleCount}
+import graft.ann.Ann
+
+/** Every opt-in fast path must be value-identical to the general path it
+  * replaces — these are the regression guards for the round-3
+  * optimizations. */
+class FastPathEquivalenceSpec extends SparkSpecBase {
+
+  /** Deterministic pseudo-random edge set over n vertices. */
+  private def randGraph(n: Long, m: Int, seed: Long = 7L) = {
+    val s = spark
+    import s.implicits._
+    (0 until m).map { k =>
+      val h = scala.util.hashing.byteswap64(seed + k)
+      val a = java.lang.Math.floorMod(h, n)
+      val b = java.lang.Math.floorMod(h >> 17, n)
+      (a, b, 1.0)
+    }.filter(e => e._1 != e._2).toDF("src", "dst", "weight")
+  }
+
+  test("CC local union-find path == distributed hash-min path") {
+    val g = randGraph(200, 300)
+    val local = toMapLL(ConnectedComponents
+      .run(g, localSolveVerts = 100000).components)
+    val dist = toMapLL(ConnectedComponents.run(g).components)
+    assert(local == dist)
+  }
+
+  test("triangle intersection formulation == brute count on a random graph") {
+    val g = randGraph(60, 240)
+    // brute force over collected canonical edges
+    val es = g.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    val perV = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- verts.indices; j <- i + 1 until verts.size
+      k <- j + 1 until verts.size
+      a = verts(i); b = verts(j); c = verts(k)
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } {
+      brute += 1
+      perV(a) += 1; perV(b) += 1; perV(c) += 1
+    }
+    assert(brute > 0, "degenerate test graph")
+    assert(TriangleCount.total(g) == brute)
+    val got = toMapLL(TriangleCount.perVertex(g))
+    assert(got.filter(_._2 > 0) == perV.toMap)
+  }
+
+  test("folded rhp signature == the literal xxhash64 column expression") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 8).map { r =>
+      (r.toLong, (0 until 16).map(i =>
+        ((r * 31 + i * 7) % 13 - 6).toFloat / 4f).toArray)
+    }.toDF("id", "vec")
+    // the pre-fold formulation, built inline: plane j's i-th sign from
+    // when(pmod(xxhash64(seed, j, i), 2) == 0, 1, -1)
+    val dim = 16; val planes = 8; val seed = 42L
+    val bits = (0 until planes).map { j =>
+      val sum = (0 until dim).map { i =>
+        val sign = when(
+          pmod(xxhash64(lit(seed), lit(j), lit(i)), lit(2)) === 0,
+          lit(1.0d)).otherwise(lit(-1.0d))
+        element_at(col("vec"), i + 1).cast("double") * sign
+      }.reduce(_ + _)
+      when(sum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val reference = bits.reduce(_ bitwiseOR _)
+    val got = vecs.select(col("id"),
+      Ann.rhpSignature(col("vec"), dim, planes, seed).as("a"),
+      reference.as("b"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (a, b) => a == b }, got.mkString(","))
+  }
+}
