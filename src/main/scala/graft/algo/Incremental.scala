@@ -34,7 +34,8 @@ import graft.run.MetricsSink
   * community seed aggregation) is over the VERTEX table, which at link-
   * graph scale is far smaller than the edge table; at petabyte scale
   * both canon and assignment live as bucketed tables and these become
-  * bucket-pruned merges too.
+  * bucket-pruned merges too — the durable edge-side form exists as
+  * [[graft.graph.BucketedEdges]].
   */
 object Incremental {
 

@@ -52,8 +52,9 @@ object EdgeOps {
     * broadcast, untouched rows pass through a map-side anti join, and
     * only the touched rows (delta-sized) go through a compress shuffle.
     * This is the per-batch graph maintenance that keeps warm updates
-    * O(|delta|), not O(|E|) — at petabyte scale the same idea is a
-    * bucket-pruned merge into a bucketed table.
+    * O(|delta|), not O(|E|) — the durable petabyte-scale form (a
+    * bucket-pruned merge into a hash-partitioned table, touching only
+    * the delta's partitions) is [[BucketedEdges.mergeDelta]].
     * Both inputs must be canonical (src <= dst, parallel edges merged).
     */
   def mergeDelta(canon: DataFrame, deltaCanon: DataFrame,
