@@ -40,15 +40,50 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark")
 
   /** Recursively delete the (tmpfs) local dir so dead runs' shuffle files
-    * can't shrink the RAM this run gets, then recreate it. */
+    * can't shrink the RAM this run gets, then recreate it.
+    *
+    * Safety: only wipes a dir whose basename contains "graft" or that
+    * carries the `.graft-scratch` marker this method plants — a
+    * misconfigured SPARK_GRAFT_LOCAL_DIR (e.g. bare /dev/shm or /tmp)
+    * must not destroy unrelated files. */
   private def wipeLocalDir(): Unit = {
     import java.nio.file._
     val root = Paths.get(localDir)
+    val marker = root.resolve(".graft-scratch")
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { val _ = Files.deleteIfExists(p) })
+      val owned = root.getFileName != null &&
+        root.getFileName.toString.contains("graft")
+      if (!owned && !Files.exists(marker)) {
+        System.err.println(s"[bench] REFUSING to wipe $localDir: basename " +
+          "lacks 'graft' and no .graft-scratch marker — set " +
+          "SPARK_GRAFT_LOCAL_DIR to a graft-owned directory")
+      } else {
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { val _ = Files.deleteIfExists(p) })
+      }
     }
     Files.createDirectories(root)
+    val _ = Files.createFile(marker)
+  }
+
+  /** Locale-independent fixed-point format (JVM default locale may use
+    * comma decimal separators, which breaks the JSON). */
+  private def r3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
+  /** Hardware fingerprint — the reference pins gate eligibility to
+    * hardware (src/benchmark/hardware_profile.rs, release_gate.rs:4-15);
+    * recording it makes cross-round gain comparisons checkable. */
+  private def hwFingerprint(): String = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val memGb = os match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getTotalMemorySize.toDouble / (1L << 30)
+      case _ => -1.0
+    }
+    s"""{"cpus":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""mem_gb":${r3(memGb)},""" +
+      s""""os":"${os.getName} ${os.getArch}"}"""
   }
 
   private def session(cpus: Int, shufflePartitions: Int = 0): SparkSession = {
@@ -123,8 +158,10 @@ object Bench {
     Bench.median(Seq.fill(3)(leg()))
   }
 
-  /** Previous round's sidecar (total, per-query secs), if present. */
-  private def readPrev(path: String): Option[(Double, Map[String, Double])] =
+  /** Previous round's sidecar (total, per-query secs, hw fingerprint),
+    * if present. */
+  private def readPrev(path: String)
+      : Option[(Double, Map[String, Double], Option[String])] =
     try {
       val f = new java.io.File(path)
       if (!f.exists()) None
@@ -138,7 +175,9 @@ object Bench {
           val k = names.next()
           qs(k) = root.path("queries").path(k).asDouble(-1.0)
         }
-        if (total <= 0) None else Some((total, qs.toMap))
+        val hw = Option(root.path("hw")).filter(!_.isMissingNode)
+          .filter(_.isObject).map(_.toString)
+        if (total <= 0) None else Some((total, qs.toMap, hw))
       }
     } catch { case _: Throwable => None }
 
@@ -156,6 +195,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     // read the PREVIOUS sidecar before this run overwrites it
     val prev = readPrev(outPath)
+    val hw = hwFingerprint()
+    // gate eligibility requires the SAME box as the frozen baseline
+    // (reference release_gate.rs HARDWARE_NOT_PINNED); a missing prev
+    // fingerprint (older sidecar format) counts as pinned.
+    val hwPinned = prev.flatMap(_._3).forall { prevHw =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper
+        om.readTree(prevHw) == om.readTree(hw)
+      } catch { case _: Throwable => true }
+    }
 
     wipeLocalDir()
 
@@ -248,6 +297,44 @@ object Bench {
     val thruLow = 2.0 * e1 / pr1
     val thruHigh = 2.0 * e1 / pr2
 
+    // part 3: warm-vs-cold incremental bench (the HIT contract) at a small
+    // env-gated size, folded into the gate artifact so the engine's
+    // headline claim is gate-measured, not builder-run only.
+    // SPARK_GRAFT_INC_BENCH=0 skips it.
+    val incJson: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_INC_BENCH").contains("0")) None
+      else try {
+        val incN = sys.env.getOrElse("SPARK_GRAFT_BENCH_INC_N", "50000").toLong
+        val incRounds =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_INC_ROUNDS", "3").toInt
+        val s = session(cpus)
+        val summary = graft.bench.IncBench.runBench(s, incN,
+          batchSize = 1000, rounds = incRounds, doCold = true)
+        s.stop()
+        Some(summary.json)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] incremental leg FAILED: ${e.getMessage}")
+        None
+      }
+    val incField = incJson.getOrElse("null")
+    val incCompact = incJson match {
+      case Some(_) =>
+        // summarize: mean warm/cold over batches + avg speedup
+        val om = new com.fasterxml.jackson.databind.ObjectMapper
+        val node = om.readTree(incField)
+        val bs = node.path("batches")
+        var w = 0.0; var c = 0.0; var i = 0
+        while (i < bs.size()) {
+          w += bs.get(i).path("warm_sec").asDouble(0)
+          c += bs.get(i).path("cold_sec").asDouble(0)
+          i += 1
+        }
+        val nb = math.max(bs.size(), 1)
+        s"""{"warm_sec":${r3(w / nb)},"cold_sec":${r3(c / nb)},""" +
+          s""""speedup":${r3(node.path("avg_speedup").asDouble(0))}}"""
+      case None => "null"
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"")
@@ -256,22 +343,27 @@ object Bench {
 
     // regression guard: per-query delta vs the previous sidecar + the
     // ReleaseGate verdict over total throughput (1/total wall-clock)
-    val gateJson = prev match {
-      case Some((prevTotal, prevQs)) =>
+    val (gateJson, gateCompact) = prev match {
+      case Some((prevTotal, prevQs, _)) =>
         val deltas = results.collect {
           case (k, v) if v > 0 && prevQs.get(k).exists(_ > 0) =>
             val pct = 100.0 * (v - prevQs(k)) / prevQs(k)
-            "\"" + k + "\":" + f"$pct%.1f"
+            "\"" + k + "\":" + String.format(java.util.Locale.ROOT,
+              "%.1f", Double.box(pct))
         }.mkString("{", ",", "}")
         val gate = graft.bench.ReleaseGate.evaluate(
           candidateThroughput = if (total > 0) 1.0 / total else 0.0,
           baselineThroughput = 1.0 / prevTotal,
-          hardwarePinned = true, source = "parquet-snapshot")
-        s""""prev_total":$prevTotal,"query_delta_pct":$deltas,""" +
+          hardwarePinned = hwPinned, source = "parquet-snapshot")
+        val compact =
+          s"""{"eligible":${gate.eligibility.eligible},""" +
+            s""""gain":${r3(gate.gain)}}"""
+        (s""""prev_total":$prevTotal,"query_delta_pct":$deltas,""" +
           s""""release_gate":{"eligible":${gate.eligibility.eligible},""" +
           s""""reason":"${gate.eligibility.reason}",""" +
-          f""""gain":${gate.gain}%.3f,"promote":${gate.promote}}"""
-      case None => s""""prev_total":null"""
+          s""""gain":${r3(gate.gain)},"promote":${gate.promote}}""",
+          compact)
+      case None => (s""""prev_total":null""", "null")
     }
 
     val scaling =
@@ -297,13 +389,26 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"trials":$qTrials,"sf":"$sfDir",""" +
-        s"""$gateJson,"scaling":$scaling}"""
+        s"""$gateJson,"hw":$hw,"incremental":$incField,""" +
+        s""""scaling":$scaling}"""
     // sbt prefixes forked-run stdout with "[info] ", which broke the
-    // driver's last-line JSON parse in round 1 ("parsed": null). Write a
-    // sidecar file AND print the bare line last (System.out directly).
+    // driver's last-line JSON parse in round 1 ("parsed": null); in
+    // round 3 the full line itself outgrew the driver's tail-capture
+    // window ("parsed": null again). Full detail goes to the sidecar and
+    // an EARLIER stdout line; the very last line is a COMPACT (<1 KB)
+    // JSON with rounded per-query secs the gate can always parse.
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       json + "\n")
     System.out.println(json)
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""queries":$qsCompact,"failed":$failedJson,"sf":"$sfDir",""" +
+        s""""scaling":{"efficiency":${r3(eff)},"n_cores_low":$nLow,""" +
+        s""""n_cores_high":$nHigh},"release_gate":$gateCompact,""" +
+        s""""incremental":$incCompact}"""
+    System.out.println(compact)
     System.out.flush()
   }
 }

@@ -59,7 +59,14 @@ object ConnectedComponents {
       val spark = edges.sparkSession
       import spark.implicits._
       val vs = verts.collect().map(_.getLong(0))
+      // restrict edges to the vertex universe: an endpoint outside `vs`
+      // crashed localComponents (negative binarySearch index) while the
+      // distributed path ignores such edges (no label row to gather) —
+      // filtering here makes the two paths agree on degenerate inputs
+      // instead of enforcing an implicit superset precondition
+      val inVs = vs.toSet
       val es = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(e => inVs(e._1) && inVs(e._2))
       return Result(
         LocalLeiden.localComponents(vs, es).toSeq.toDF("v", "component"), 1)
     }

@@ -39,6 +39,13 @@ import graft.run.MetricsSink
   */
 object Incremental {
 
+  /** Durable-canon option: the level-0 edge table lives in a
+    * [[graft.graph.BucketedEdges]] bucket-partitioned parquet store and
+    * every delta merge is a bucket-pruned read-merge-overwrite of only the
+    * touched buckets — the executed form of the petabyte-scale story
+    * (reference durable-state intent: src/core/graph/backend.rs). */
+  final case class DurableCanon(path: String, nBuckets: Int)
+
   /** Persistent engine state between batches.
     *
     * @param canon  live canonical edge table (level 0)
@@ -49,6 +56,8 @@ object Incremental {
     *   (nullable: derived on demand — e.g. after resume from checkpoint)
     * @param maxId  id watermark for fresh subcommunity allocation
     *   (largest-component-keeps-id splits allocate above it)
+    * @param durable when set, `canon` is backed by (and [[update]] merges
+    *   into) the bucket-partitioned store at this path
     */
   final case class State(canon: DataFrame, assign: DataFrame, m2: Double,
       deg: DataFrame = null, superCanon: DataFrame = null,
@@ -58,7 +67,8 @@ object Incremental {
         * cadence: the per-batch degree patch stays a lazy broadcast-join
         * chain (delta-sized work) and is materialized O(V) only every
         * 4th batch. */
-      epoch: Int = 0)
+      epoch: Int = 0,
+      durable: Option[DurableCanon] = None)
 
   /** Fill derivable fields absent after a resume or an old-format call:
     * degrees, the live supergraph (contract by subcomm — the invariant
@@ -92,13 +102,21 @@ object Incremental {
   }
 
   def initial(edges: DataFrame, cfg: Leiden.Config = Leiden.Config(),
-      sink: MetricsSink = MetricsSink.discard): State = {
-    val canon = EdgeOps.compress(edges, cfg.eps).ckpt
+      sink: MetricsSink = MetricsSink.discard,
+      durable: Option[DurableCanon] = None): State = {
+    val canon0 = EdgeOps.compress(edges, cfg.eps).ckpt
+    // durable mode: seed the bucket store and compute off a reader over
+    // it, so the solved state is provably derived from the durable bytes
+    val canon = durable.fold(canon0) { d =>
+      graft.graph.BucketedEdges.write(canon0, d.path, d.nBuckets)
+      graft.graph.BucketedEdges.read(edges.sparkSession, d.path).ckpt
+    }
     val m2 = 2.0 * EdgeOps.totalWeight(canon)
     val verts = EdgeOps.vertices(canon)
     val init = verts.select(col("v"), col("v").as("community"),
       col("v").as("subcomm")).ckpt
-    if (m2 == 0.0) return hydrate(State(canon, init, 0.0), cfg.eps)
+    if (m2 == 0.0)
+      return hydrate(State(canon, init, 0.0, durable = durable), cfg.eps)
     val adj = EdgeOps.symmetrize(canon).ckpt
     val deg = EdgeOps.degrees(adj).ckpt
     val mv = Leiden.movement(adj, deg, m2, init, verts, cfg, sink, 0)
@@ -107,7 +125,7 @@ object Incremental {
     val assign = resolveSuper(
       contractBySubcomm(canon, ref.assign, cfg.eps).ckpt,
       ref.assign, cfg, sink)
-    hydrate(State(canon, assign, m2, deg = deg), cfg.eps)
+    hydrate(State(canon, assign, m2, deg = deg, durable = durable), cfg.eps)
   }
 
   /** Solve the (small) supergraph with the carried communities as the
@@ -210,7 +228,10 @@ object Incremental {
     */
   def update(state0: State, delta: DataFrame,
       cfg: Leiden.Config = Leiden.Config(),
-      sink: MetricsSink = MetricsSink.discard): State = {
+      sink: MetricsSink = MetricsSink.discard,
+      /** distinct-delta-id count above which the new-vertex probe switches
+        * from a driver literal predicate to a distributed anti join */
+      bulkIdThreshold: Long = 100_000L): State = {
 
     // phase timing to stderr when GRAFT_DEBUG_TIMING=1 (diagnostics only)
     val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
@@ -231,25 +252,52 @@ object Incremental {
       val r = deltaC.agg(sum("weight")).collect()(0)
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
-    val newCanon = EdgeOps.mergeDelta(state.canon, deltaC, cfg.eps).ckpt
+    // in-memory default: broadcast merge onto the checkpointed table.
+    // durable mode: bucket-pruned merge into the BucketedEdges store —
+    // only the delta's buckets are read and rewritten — then the live
+    // canon is a fresh reader over the store.
+    val newCanon = state.durable match {
+      case Some(d) =>
+        graft.graph.BucketedEdges.mergeDelta(delta.sparkSession, d.path,
+          deltaC, d.nBuckets, cfg.eps)
+        graft.graph.BucketedEdges.read(delta.sparkSession, d.path).ckpt
+      case None => EdgeOps.mergeDelta(state.canon, deltaC, cfg.eps).ckpt
+    }
     val m2 = state.m2 + 2.0 * dW
 
-    // new endpoints enter as singletons. The "which delta ids are new"
-    // set is computed with a driver round-trip over the (batch-bounded)
-    // delta id list + one map-side scan of the assignment — a shuffled
-    // anti join would re-sort the whole vertex table per batch.
+    // new endpoints enter as singletons. For ordinary (batch-bounded)
+    // deltas the "which delta ids are new" set is computed with a driver
+    // round-trip over the delta id list + one map-side scan of the
+    // assignment — a shuffled anti join would re-sort the whole vertex
+    // table per batch. A BULK delta (backfill, re-ingest) would turn
+    // isInCollection into a multi-million-element literal predicate
+    // (plan-size explosion, driver memory), so above 100k distinct ids
+    // the probe falls back to a distributed anti join — one key shuffle,
+    // the right cost when the delta is itself graph-sized.
     val spark = delta.sparkSession
     import spark.implicits._
-    val dIds = EdgeOps.vertices(deltaC).collect().map(_.getLong(0))
-    val existing = state.assign
-      .where(col("v").isInCollection(dIds)).select("v")
-      .collect().map(_.getLong(0)).toSet
-    val newIds = dIds.filterNot(existing)
-    val newVerts = newIds.toSeq.toDF("v")
+    val dV = EdgeOps.vertices(deltaC).ckpt
+    val nDV = dV.count()
+    val (newVerts, dMax) =
+      if (nDV <= bulkIdThreshold) {
+        val dIds = dV.collect().map(_.getLong(0))
+        val existing = state.assign
+          .where(col("v").isInCollection(dIds)).select("v")
+          .collect().map(_.getLong(0)).toSet
+        val newIds = dIds.filterNot(existing)
+        (newIds.toSeq.toDF("v"),
+          if (dIds.isEmpty) None else Some(dIds.max))
+      } else {
+        val nv = dV.join(state.assign.select("v"), Seq("v"), "left_anti")
+          .ckpt
+        val m = dV.agg(max("v")).collect()(0)
+        (nv, if (m.isNullAt(0)) None else Some(m.getLong(0)))
+      }
+    val hasNew = !newVerts.isEmpty
     // new-singleton rows are delta-sized; the union is applied lazily on
     // top of the (checkpointed) carried assignment — no O(V) rewrite here
     val assign0 =
-      if (newIds.isEmpty) state.assign
+      if (!hasNew) state.assign
       else state.assign.unionAll(
         newVerts.select(col("v"), col("v").as("community"),
           col("v").as("subcomm")))
@@ -289,7 +337,8 @@ object Incremental {
       .select(explode(array(col("src"), col("dst"))).as("v")).distinct()
 
     if (m2 == 0.0)
-      return hydrate(State(newCanon, assign0, 0.0), cfg.eps)
+      return hydrate(State(newCanon, assign0, 0.0, durable = state.durable),
+        cfg.eps)
 
     val adj = EdgeOps.symmetrize(newCanon)
     mark("activation")
@@ -303,9 +352,7 @@ object Incremental {
     // subcomm/community ids): allocating fresh split ids from the stale
     // state.maxId could alias a new vertex's id and silently contract two
     // unrelated subcommunities together in the supergraph
-    val freshIdBase =
-      if (dIds.isEmpty) state.maxId
-      else math.max(state.maxId, dIds.max)
+    val freshIdBase = dMax.fold(state.maxId)(math.max(state.maxId, _))
     val ref = Leiden.refinement(adj, deg, m2, mv.assign, affected, cfg, sink,
       0, isInitial = false, freshIdBase = freshIdBase)
     mark("refinement")
@@ -332,7 +379,7 @@ object Incremental {
     val assign2 = resolveSuper(newSuper, assign1, cfg, sink)
     mark("resolveSuper")
     State(newCanon, assign2, m2, deg = deg, superCanon = newSuper,
-      maxId = maxId, epoch = state.epoch + 1)
+      maxId = maxId, epoch = state.epoch + 1, durable = state.durable)
   }
 
   /** Deterministic cumulative delta batches replicating the reference's

@@ -44,7 +44,8 @@ object LabelPropagation {
     // on the (known) vertex count because at web scale the label table is
     // V-sized and must shuffle.
     val nVerts = verts.count()
-    val bcastLabels = nVerts <= 2_000_000L
+    // ~32 B per (v, label) row against the heap-derived budget
+    val bcastLabels = graft.util.Bcast.fits(nVerts, bytesPerRow = 32)
     // static side partitioned by the per-round join key (see CC/PageRank)
     // — only worth a shuffle when the per-round join itself shuffles
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions

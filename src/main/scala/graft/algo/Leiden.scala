@@ -320,7 +320,7 @@ object Leiden {
       // adjacency is filtered map-side, never shuffled
       val act0 =
         if (frontierN >= nVerts) adj
-        else if (frontierN <= 5_000_000)
+        else if (graft.util.Bcast.fits(frontierN, bytesPerRow = 16))
           adj.join(broadcast(active.withColumnRenamed("v", "src")),
             Seq("src"), "left_semi")
         else adj.join(active.withColumnRenamed("v", "src"), Seq("src"),
@@ -461,8 +461,8 @@ object Leiden {
         // of all vertices, and an unconditional hint would bypass the
         // autoBroadcast threshold and OOM executors at scale.
         val movesSel = moves.select("v", "newComm")
-        val movesJ =
-          if (nMoves <= 5_000_000L) broadcast(movesSel) else movesSel
+        val movesJ = graft.util.Bcast.ifFits(movesSel, nMoves,
+          bytesPerRow = 32)
         val aNew0 = a.join(movesJ, Seq("v"), "left")
           .select(col("v"),
             coalesce(col("newComm"), col("community")).as("community"),
@@ -527,7 +527,15 @@ object Leiden {
           frontierN = nVerts
         } else {
           // next frontier: gated movers plus neighbors of applied movers
-          // now in a different community (hit_leiden.rs:270-273)
+          // now in a different community (hit_leiden.rs:270-273).
+          // Evaluated LAZILY inside the next sweep's gather job: the
+          // dedicated ckpt+count pair this used to issue was one of the
+          // ~3 fixed-cost actions per warm sweep. The loop's frontier
+          // size becomes a conservative over-estimate (movers x avg
+          // degree + gated) used only by the broadcast / small-gather
+          // gates — over-estimating picks the safer plan — and
+          // termination rides on the next sweep's nWant == 0, which the
+          // counts collect already measures.
           val nextActive = mvEdges
             .join(a.select(col("v").as("dst"), col("community").as("dcomm")),
               "dst")
@@ -535,9 +543,12 @@ object Leiden {
             .select(col("dst").as("v"))
             .unionAll(gated)
             .distinct()
-            .ckpt
-          active = nextActive
-          frontierN = active.count()
+          // the salt path reads `active` twice (cold + hot legs): only
+          // there is a materialization still worth its job
+          active = if (cfg.saltFactor > 1) nextActive.ckpt else nextActive
+          val nGated = counts.get(true).map(_._1).getOrElse(0L)
+          frontierN = math.max(1L,
+            math.min(nVerts - 1, (nMoves * avgDeg).toLong + nGated))
         }
       }
       sweep += 1
@@ -592,7 +603,7 @@ object Leiden {
       val membersV = members.select("v")
       val nMembers = members.count()
       def mb(df: DataFrame): DataFrame =
-        if (nMembers <= 5_000_000L) broadcast(df) else df
+        graft.util.Bcast.ifFits(df, nMembers, bytesPerRow = 32)
       val intra = adj
         .join(mb(members.select(col("v").as("src"),
           col("subcomm").as("scu"))), "src")
@@ -603,14 +614,23 @@ object Leiden {
         .select("src", "dst")
       // batch-sized affected subgraphs resolve their components in a
       // driver-side union-find — distributed hash-min CC on a few
-      // thousand rows is several fixed-cost jobs for nothing
+      // thousand rows is several fixed-cost jobs for nothing. The local
+      // path is gated on BOTH members and intra-EDGES (a dense affected
+      // subcommunity can carry orders of magnitude more edges than
+      // members; collecting those would land on the driver heap) —
+      // mirrors ConnectedComponents.run's two-sided guard.
       val comps = // (v, component = min member id)
         if (cfg.localSolveEdges > 0 && nMembers <= cfg.localSolveEdges) {
-          import spark.implicits._
-          val vs = membersV.collect().map(_.getLong(0))
-          val es = intra.collect().map(r => (r.getLong(0), r.getLong(1)))
-          LocalLeiden.localComponents(vs, es).toSeq
-            .toDF("v", "component")
+          val intraC = intra.ckpt
+          val nIntra = intraC.count()
+          if (nIntra <= cfg.localSolveEdges) {
+            import spark.implicits._
+            val vs = membersV.collect().map(_.getLong(0))
+            val es = intraC.collect().map(r => (r.getLong(0), r.getLong(1)))
+            LocalLeiden.localComponents(vs, es).toSeq
+              .toDF("v", "component")
+          } else ConnectedComponents.run(intraC,
+            vertices = Some(membersV), sink = MetricsSink.discard).components
         } else ConnectedComponents.run(intra,
           vertices = Some(membersV), sink = MetricsSink.discard).components
 
@@ -631,6 +651,20 @@ object Leiden {
       val keepers = ranked.where(col("rn") === 1)
         .select(col("subcomm"), col("component"),
           col("subcomm").as("newSc"))
+      // Enforce (not just document) the delta-bound of the global fresh-id
+      // window: it is a single-partition sort over the batch's SPLIT
+      // fragments only. One cheap agg over the already-checkpointed
+      // compSizes turns the assumption into a guard that fails loudly
+      // before a pathological batch funnels millions of rows through one
+      // task.
+      val Array(nFragRow) = compSizes
+        .agg(count(lit(1)).as("frags"),
+          count_distinct(col("subcomm")).as("scs")).collect()
+      val nSplitFrags = nFragRow.getLong(0) - nFragRow.getLong(1)
+      require(nSplitFrags <= 50_000_000L,
+        s"refinement split produced $nSplitFrags fresh fragments — " +
+          "exceeds the single-partition fresh-id window bound; " +
+          "batch is not delta-sized")
       val wFresh = Window.orderBy("subcomm", "component")
       val freshComps = ranked.where(col("rn") > 1)
         .select(col("subcomm"), col("component"),
@@ -736,8 +770,8 @@ object Leiden {
         // lazy overlay, flattened every other round (see movement);
         // broadcast gated on the applied merge count like movement's
         val mergesSel = moves.select("v", "newSc")
-        val mergesJ =
-          if (moved <= 5_000_000L) broadcast(mergesSel) else mergesSel
+        val mergesJ = graft.util.Bcast.ifFits(mergesSel, moved,
+          bytesPerRow = 32)
         a = a.join(mergesJ, Seq("v"), "left")
           .select(col("v"), col("community"),
             coalesce(col("newSc"), col("subcomm")).as("subcomm"))

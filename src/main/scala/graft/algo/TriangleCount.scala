@@ -85,10 +85,13 @@ object TriangleCount {
 
     // The ckpt drops plan statistics (GraftStatsReset), so Catalyst sees
     // defaultSizeInBytes and never auto-broadcasts; gate explicitly on
-    // the (known) materialized size. Above the bound both joins shuffle.
+    // the (known) materialized size. Payload is O(E) list entries per
+    // side and BOTH projections are broadcast at once, so the byte
+    // estimate is 2 x ~24 B per oriented edge against the heap-derived
+    // budget (graft.util.Bcast). Above the budget both joins shuffle.
     val nOriented = oriented.count()
     def side(df: DataFrame): DataFrame =
-      if (nOriented <= 10_000_000L) broadcast(df) else df
+      graft.util.Bcast.ifFits(df, nOriented, bytesPerRow = 48)
     // the probe side drives the whole closing pipeline (both joins chain
     // inside one codegen stage when broadcast): AQE's size-based
     // coalescing packs this few-MB table into 1-2 partitions and would

@@ -17,25 +17,33 @@ import graft.source.CodeTableSynth
   * engine's actual contract.
   */
 object IncBench {
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
-    val n = sys.env.getOrElse("SPARK_GRAFT_INC_N", "50000").toLong
-    val batchSize = sys.env.getOrElse("SPARK_GRAFT_INC_BATCH", "1000").toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_INC_ROUNDS", "5").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** One measured batch: warm HIT update vs cold full recompute. */
+  final case class BatchRow(batch: Int, warmSec: Double, coldSec: Double,
+      speedup: Double, qWarm: Double, qCold: Double)
+
+  final case class Summary(initialSec: Double, edges: Long, batchSize: Int,
+      rounds: Int, rows: Seq[BatchRow]) {
+    def avgSpeedup: Double =
+      if (rows.isEmpty) 0.0 else rows.map(_.speedup).sum / rows.size
+    /** Compact per-run JSON fragment (no surrounding key). */
+    def json: String = {
+      val batchJson = rows.map { r =>
+        s"""{"batch":${r.batch},"warm_sec":${r.warmSec},""" +
+          s""""cold_sec":${r.coldSec},"speedup":${r.speedup},""" +
+          s""""q_warm":${r.qWarm},"q_cold":${r.qCold}}"""
+      }.mkString("[", ",", "]")
+      s"""{"initial_sec":$initialSec,"edges":$edges,""" +
+        s""""batch_size":$batchSize,"rounds":$rounds,""" +
+        s""""avg_speedup":$avgSpeedup,"batches":$batchJson}"""
+    }
+  }
+
+  /** Run the warm-vs-cold incremental bench on a deterministic SBM graph.
+    * Callable both from the standalone main and from `graft.Bench` (which
+    * folds the summary into the gate artifact). */
+  def runBench(spark: SparkSession, n: Long, batchSize: Int, rounds: Int,
+      doCold: Boolean): Summary = {
     val edges = CodeTableSynth.sbmEdges(spark, n, nBlocks = 32,
       degIntra = 6, degInter = 1).localCheckpoint(true)
     val (init, batches) = Incremental.paperSplit(edges, 0.8, batchSize,
@@ -49,9 +57,6 @@ object IncBench {
     val (state0, tInit) = secs(Incremental.initial(init))
     var state = state0
     var cumulative = init
-    // SPARK_GRAFT_INC_COLD=0 skips the cold-recompute baseline (fast
-    // iteration on the warm path; speedup reads 0)
-    val doCold = !sys.env.get("SPARK_GRAFT_INC_COLD").contains("0")
     val rows = batches.zipWithIndex.map { case (b, i) =>
       cumulative = cumulative.unionAll(b).localCheckpoint(true)
       val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
@@ -75,16 +80,36 @@ object IncBench {
         state.assign.select(col("v"), col("community")))
       val qCold = if (doCold) Quality.modularity(cold.canon,
         cold.assign.select(col("v"), col("community"))) else 0.0
-      (i, tWarm, tCold, if (doCold) tCold / tWarm else 0.0, qWarm, qCold)
+      BatchRow(i, tWarm, tCold, if (doCold) tCold / tWarm else 0.0,
+        qWarm, qCold)
     }
-    val avgSpeedup = rows.map(_._4).sum / rows.size
-    val batchJson = rows.map { case (i, w, c, s, qw, qc) =>
-      s"""{"batch":$i,"warm_sec":$w,"cold_sec":$c,"speedup":$s,""" +
-        s""""q_warm":$qw,"q_cold":$qc}"""
-    }.mkString("[", ",", "]")
-    println(s"""{"metric":"incremental","initial_sec":$tInit,""" +
-      s""""edges":${edges.count()},"batch_size":$batchSize,""" +
-      s""""rounds":$rounds,"avg_speedup":$avgSpeedup,"batches":$batchJson}""")
+    Summary(tInit, edges.count(), batchSize, rounds, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_INC_N", "50000").toLong
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_INC_BATCH", "1000").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_INC_ROUNDS", "5").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.defaultSizeInBytes", (128L << 20).toString)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_INC_COLD=0 skips the cold-recompute baseline (fast
+    // iteration on the warm path; speedup reads 0)
+    val doCold = !sys.env.get("SPARK_GRAFT_INC_COLD").contains("0")
+    val s = runBench(spark, n, batchSize, rounds, doCold)
+    println(s"""{"metric":"incremental",""" + s.json.drop(1))
     spark.stop()
   }
 }

@@ -24,11 +24,21 @@ object Engine {
     * solve runs in [[graft.algo.LocalLeiden]], so the graph must fit
     * `leiden.localSolveEdges` (the reference's deterministic mode is
     * single-threaded and carries the same practical bound). */
+  /** @param durableEdges when set, the level-0 canonical edge table lives
+    *   in a [[graft.graph.BucketedEdges]] store at this (path, nBuckets)
+    *   and each warm batch merges only its touched buckets — the durable
+    *   petabyte-scale form of the in-memory checkpointed canon
+    * @param validateInvariants when true, every run/update verifies the
+    *   hard partition invariants ([[Validate.invariants]]) before the
+    *   batch is checkpointed; warm batches use the incremental-aware
+    *   maxId form (historical/synthetic ids are legal after splits) */
   final case class Config(
       leiden: Leiden.Config = Leiden.Config(),
       checkpointRoot: Option[String] = None,
       runId: String = "run-0",
-      mode: String = "throughput") {
+      mode: String = "throughput",
+      durableEdges: Option[Incremental.DurableCanon] = None,
+      validateInvariants: Boolean = false) {
     def validate(): Unit = {
       // mirrors RunConfig::validate (config.rs:35-43)
       require(leiden.maxSweeps > 0, "maxSweeps must be > 0")
@@ -68,6 +78,10 @@ object Engine {
           maxSweeps = Int.MaxValue / 8)
       } else cfg.leiden
     val r = Leiden.run(edges, leidenCfg, sink)
+    if (cfg.validateInvariants) {
+      val v = Validate.invariants(r.assignment.select("v", "community"))
+      require(v.ok, s"partition invariants violated: ${v.reason}")
+    }
     val out = Outcome(r.assignment, r.modularity, r.communityCount,
       r.sweepsPerLevel.sum, sink.all, batch = 0)
     checkpoint(cfg, out, edges)
@@ -83,9 +97,16 @@ object Engine {
     val cp = new Checkpointer(root, cfg.runId)
     val last = cp.latest().getOrElse(
       throw new IllegalStateException("no checkpoint to resume from"))
-    val st = readState(spark, root, cfg.runId, last)
+    val st = readState(spark, root, cfg.runId, last, cfg.durableEdges)
     val sink = new MetricsSink
     val next = Incremental.update(st, delta, cfg.leiden, sink)
+    if (cfg.validateInvariants) {
+      // incremental-aware: community ids may be historical or
+      // watermark-allocated — both live in [0, maxId]
+      val v = Validate.invariants(
+        next.assign.select(col("v"), col("community")), next.maxId)
+      require(v.ok, s"partition invariants violated: ${v.reason}")
+    }
     // score the objective actually being optimized (cfg may select CPM)
     val q =
       if (cfg.leiden.useCpm)
@@ -118,7 +139,8 @@ object Engine {
       // start; the first delta's refinement re-splits as needed)
       val st = Incremental.State(canon,
         out.assignment.select(col("v"), col("community"),
-          col("community").as("subcomm")), 0.0)
+          col("community").as("subcomm")), 0.0,
+        durable = cfg.durableEdges)
       writeState(cfg, st, out)
     }
 
@@ -131,17 +153,32 @@ object Engine {
       // before cp.write leaves an uncommitted (invisible) batch; a crash
       // after leaves a complete one.
       val edgeRows = st.canon.count()
-      st.canon.write.mode("overwrite")
-        .parquet(s"$root/${cfg.runId}/iter=${out.batch}/edges")
+      st.durable match {
+        case Some(d) =>
+          // the BucketedEdges store IS the durable edge copy — batch 0
+          // seeds it; warm batches already merged into it inside
+          // Incremental.update, so a per-batch full dump would be the
+          // exact O(|E|) write the bucket-pruned merge exists to avoid
+          if (out.batch == 0)
+            graft.graph.BucketedEdges.write(st.canon, d.path, d.nBuckets)
+        case None =>
+          st.canon.write.mode("overwrite")
+            .parquet(s"$root/${cfg.runId}/iter=${out.batch}/edges")
+      }
       val cp = new Checkpointer(root, cfg.runId)
       cp.write(out.batch, st.assign, out.metrics, frontier = 0,
         quality = out.quality, edgeRows = edgeRows)
     }
 
   private def readState(spark: SparkSession, root: String, runId: String,
-      batch: Int): Incremental.State = {
+      batch: Int,
+      durable: Option[Incremental.DurableCanon] = None): Incremental.State = {
     val assign = spark.read.parquet(s"$root/$runId/iter=$batch/assignment")
-    val canon = spark.read.parquet(s"$root/$runId/iter=$batch/edges")
-    Incremental.State(canon, assign, 2.0 * EdgeOps.totalWeight(canon))
+    val canon = durable match {
+      case Some(d) => graft.graph.BucketedEdges.read(spark, d.path)
+      case None => spark.read.parquet(s"$root/$runId/iter=$batch/edges")
+    }
+    Incremental.State(canon, assign, 2.0 * EdgeOps.totalWeight(canon),
+      durable = durable)
   }
 }
