@@ -157,10 +157,21 @@ object Incremental {
       if (cfg.localSolveEdges > 0 &&
           superCanon.count() <= cfg.localSolveEdges) {
         // supergraph fits: connectivity repair (union-find) AND the full
-        // hierarchy solve run sequentially on the collected arrays — one
-        // collect instead of a dozen fixed-cost distributed jobs per batch
-        val es = superCanon.select("src", "dst", "weight").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // hierarchy solve run sequentially on the collected PRIMITIVE
+        // arrays — one collect instead of a dozen fixed-cost distributed
+        // jobs per batch, and no per-edge tuple boxing on the multi-
+        // million-edge supergraph
+        val rows = superCanon.select("src", "dst", "weight").collect()
+        val eSrc = new Array[Long](rows.length)
+        val eDst = new Array[Long](rows.length)
+        val eW = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          eSrc(i) = r.getLong(0); eDst(i) = r.getLong(1)
+          eW(i) = r.getDouble(2)
+          i += 1
+        }
         val cmM = carried0.collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         mark("collect")
@@ -169,9 +180,9 @@ object Incremental {
             .agg(count(lit(1)).as("size")).collect()
             .map(r => r.getLong(0) -> r.getLong(1)).toMap
           else Map.empty[Long, Long]
-        val repaired = LocalLeiden.repairConnectivity(es, cmM)
+        val repaired = LocalLeiden.repairConnectivity(eSrc, eDst, cmM)
         mark("repair")
-        val solved = LocalLeiden.solve(es, szM, repaired, cfg)
+        val solved = LocalLeiden.solve(eSrc, eDst, eW, szM, repaired, cfg)
         mark("local-solve")
         val out = solved.toSeq.toDF("v", "community")
         mark("toDF")

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.EdgeOps
 import graft.run.{IterMetric, MetricsSink}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Leiden community detection, Spark-native.
   *
@@ -276,7 +278,11 @@ object Leiden {
 
     val spark = adj.sparkSession
     import spark.implicits._
-    // node sizes in base vertices (CPM gain); level 0 = all ones
+    // node sizes in base vertices (CPM gain); level 0 = all ones — and
+    // when they ARE all ones (no nodeSize given) the size columns are
+    // computed as literals/counts instead of joining a V-sized unit table
+    // into every sweep's candidate pipeline
+    val unitSize = nodeSize.isEmpty
     val sz = nodeSize.getOrElse(
       assign.select(col("v"), lit(1L).as("size"))).select("v", "size")
     var a = assign
@@ -300,10 +306,15 @@ object Leiden {
     // cdeg[new] += d_v — the reference's sequential bookkeeping at
     // hit_leiden.rs:267-268): a moves-sized job per sweep instead of a
     // full-table aggregation
-    var commDeg = a.join(deg, "v").join(sz, "v")
-      .groupBy(col("community"))
-      .agg(sum("deg").as("cdeg"), sum("size").as("csize"))
-      .ckpt
+    var commDeg = {
+      val base = a.join(deg, "v")
+      if (unitSize)
+        base.groupBy(col("community"))
+          .agg(sum("deg").as("cdeg"), count(lit(1)).as("csize"))
+      else
+        base.join(sz, "v").groupBy(col("community"))
+          .agg(sum("deg").as("cdeg"), sum("size").as("csize"))
+    }.ckpt
 
     while (frontierN > 0 && sweep < cfg.maxSweeps) {
       val t0 = System.nanoTime()
@@ -362,9 +373,23 @@ object Leiden {
             .agg(sum("weight").as("wTo"))
         }
 
+      // frontier-sized sweeps: the per-vertex lookup tables (community,
+      // degree, size) are frontier-filtered by a broadcast semi-join — a
+      // map-side scan of the V-sized chain, no exchange — and then
+      // broadcast into the candidate pipeline. The unfiltered form
+      // sort-merge-exchanged 2-3 V-sized tables per sweep, the dominant
+      // fixed cost of a warm-update sweep. Cold/full sweeps keep the
+      // unfiltered shuffled joins (a V-sized broadcast would not fit).
+      def flt(df: DataFrame): DataFrame =
+        if (!smallGather) df
+        else broadcast(df.join(
+          broadcast(active.withColumnRenamed("v", "src")),
+          Seq("src"), "left_semi"))
+
       // wCur (weight to own community) via a window over the same src
       // partitioning — no self-join, no duplicated subtree
-      val cur = a.select(col("v").as("src"), col("community").as("curComm"))
+      val cur = flt(a.select(col("v").as("src"),
+        col("community").as("curComm")))
       val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
       val j = byComm.join(cur, "src")
         .withColumn("wCur",
@@ -383,9 +408,14 @@ object Leiden {
           (col("wTo") - col("wCur")) / m2 +
             lit(cfg.gamma) * col("dv") *
             (col("cdegCur") - col("dv") - col("cdegCand")) / (m2 * m2)
-      val cand = j.where(col("nbrComm") =!= col("curComm"))
-        .join(deg.select(col("v").as("src"), col("deg").as("dv")), "src")
-        .join(sz.select(col("v").as("src"), col("size").as("szv")), "src")
+      val candBase = j.where(col("nbrComm") =!= col("curComm"))
+        .join(flt(deg.select(col("v").as("src"), col("deg").as("dv"))),
+          "src")
+      val candSz =
+        if (unitSize) candBase.withColumn("szv", lit(1L))
+        else candBase.join(
+          flt(sz.select(col("v").as("src"), col("size").as("szv"))), "src")
+      val cand = candSz
         .join(commDeg.select(col("community").as("curComm"),
           col("cdeg").as("cdegCur"), col("csize").as("csizeCur")), "curComm")
         .join(commDeg.select(col("community").as("nbrComm"),
@@ -413,19 +443,47 @@ object Leiden {
       // hash parity. Everyone else moves immediately. One V-sized join
       // folded into the same job as the gather — no extra action.
       val parity = pmod(xxhash64(col("v"), lit(sweep)), lit(2))
-      val wantMoves = (aPrev match {
+      val wantMoves0 = aPrev match {
         case None => want0.withColumn("gated", lit(false))
-        case Some(p) => want0
-          .join(p.select(col("v"), col("community").as("prevComm")),
-            Seq("v"), "left")
+        case Some(p) =>
+          // same frontier-filter treatment as the lookup joins: the
+          // pre-barrier assignment is V-sized and want0 is frontier-sized
+          val prev0 = p.select(col("v"), col("community").as("prevComm"))
+          val prevJ =
+            if (!smallGather) prev0
+            else broadcast(prev0.join(broadcast(active), Seq("v"),
+              "left_semi"))
+          want0.join(prevJ, Seq("v"), "left")
           .withColumn("gated",
             col("prevComm") === col("newComm") && parity === 1)
           .drop("prevComm")
-      }).ckpt
+      }
 
-      val counts = wantMoves.groupBy(col("gated"))
-        .agg(count(lit(1)).as("n"), sum("gain").as("g")).collect()
-        .map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // small-frontier sweeps run ONE Spark action: collect the
+      // frontier-sized move table to the driver. The moves/gated tables
+      // become LOCAL relations, so the lazy assignment overlay, the
+      // community-stat delta and the next-frontier seed all
+      // broadcast-join them at zero scan cost, and the count/gain stats
+      // come straight off the collected rows instead of a second job.
+      // Large frontiers (cold start) keep the checkpoint + agg path.
+      var wantRows: Array[org.apache.spark.sql.Row] = null
+      val wantMoves =
+        if (smallGather) {
+          wantRows = wantMoves0.collect()
+          spark.createDataFrame(java.util.Arrays.asList(wantRows: _*),
+            wantMoves0.schema)
+        } else wantMoves0.ckpt
+
+      val counts =
+        if (smallGather) {
+          val gi = wantMoves0.schema.fieldIndex("gated")
+          val gni = wantMoves0.schema.fieldIndex("gain")
+          wantRows.groupBy(_.getBoolean(gi)).map { case (k, rs) =>
+            k -> (rs.length.toLong, rs.iterator.map(_.getDouble(gni)).sum)
+          }
+        } else wantMoves.groupBy(col("gated"))
+          .agg(count(lit(1)).as("n"), sum("gain").as("g")).collect()
+          .map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2))).toMap
       val nWant = counts.values.map(_._1).sum
       val nMoves = counts.get(false).map(_._1).getOrElse(0L)
       // total gain the applied moves claim under the stale snapshot —
@@ -442,8 +500,9 @@ object Leiden {
           seconds = (System.nanoTime() - t0) / 1e9))
         frontierN = 0
       } else if (nMoves == 0) {
-        // everyone gated this sweep; retry them next sweep
-        active = gated.ckpt
+        // everyone gated this sweep; retry them next sweep (already a
+        // local relation on the small-frontier path — no job needed)
+        active = if (smallGather) gated else gated.ckpt
         frontierN = nWant
         sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
           movesAccepted = 0, frontier = frontierN, qualityDelta = 0.0,
@@ -494,11 +553,25 @@ object Leiden {
           .join(adj, "src")
 
         // K: mover and neighbor sharing a (pre-move) subcommunity
-        // (hit_leiden.rs:274-277)
-        val scPairs = mvEdges
-          .join(a.select(col("v").as("src"), col("subcomm").as("scu")), "src")
-          .join(a.select(col("v").as("dst"), col("subcomm").as("scv")), "dst")
-          .where(col("scu") === col("scv"))
+        // (hit_leiden.rs:274-277). Small sweeps: the mover-side tables
+        // are (locally known to be) tiny — broadcast them so the V-sized
+        // assignment chain streams map-side in both lookups.
+        val srcSc = a.select(col("v").as("src"), col("subcomm").as("scu"))
+        val srcScJ =
+          if (!smallGather) srcSc
+          else broadcast(srcSc.join(
+            broadcast(moves.select(col("v").as("src"))), Seq("src"),
+            "left_semi"))
+        val withScu = mvEdges.join(srcScJ, "src")
+        val scPairs =
+          if (smallGather)
+            a.select(col("v").as("dst"), col("subcomm").as("scv"))
+              .join(broadcast(withScu), "dst")
+              .where(col("scu") === col("scv"))
+          else withScu
+            .join(a.select(col("v").as("dst"), col("subcomm").as("scv")),
+              "dst")
+            .where(col("scu") === col("scv"))
         val newAffected = scPairs.select(explode(array(col("src"), col("dst")))
           .as("v"))
 
@@ -527,28 +600,37 @@ object Leiden {
           frontierN = nVerts
         } else {
           // next frontier: gated movers plus neighbors of applied movers
-          // now in a different community (hit_leiden.rs:270-273).
-          // Evaluated LAZILY inside the next sweep's gather job: the
-          // dedicated ckpt+count pair this used to issue was one of the
-          // ~3 fixed-cost actions per warm sweep. The loop's frontier
-          // size becomes a conservative over-estimate (movers x avg
-          // degree + gated) used only by the broadcast / small-gather
-          // gates — over-estimating picks the safer plan — and
-          // termination rides on the next sweep's nWant == 0, which the
-          // counts collect already measures.
-          val nextActive = mvEdges
-            .join(a.select(col("v").as("dst"), col("community").as("dcomm")),
-              "dst")
+          // now in a different community (hit_leiden.rs:270-273)
+          val nextActive = (
+            if (smallGather)
+              a.select(col("v").as("dst"), col("community").as("dcomm"))
+                .join(broadcast(mvEdges), "dst")
+            else mvEdges.join(
+              a.select(col("v").as("dst"), col("community").as("dcomm")),
+              "dst"))
             .where(col("dcomm") =!= col("newComm"))
             .select(col("dst").as("v"))
             .unionAll(gated)
             .distinct()
-          // the salt path reads `active` twice (cold + hot legs): only
-          // there is a materialization still worth its job
-          active = if (cfg.saltFactor > 1) nextActive.ckpt else nextActive
-          val nGated = counts.get(true).map(_._1).getOrElse(0L)
-          frontierN = math.max(1L,
-            math.min(nVerts - 1, (nMoves * avgDeg).toLong + nGated))
+          if (smallGather) {
+            // small sweeps: COLLECT the (delta-sized) frontier — the next
+            // sweep's 3-4 broadcast builds of `active` then read a local
+            // relation instead of each re-running this subplan, and the
+            // loop gets an exact size for its gates and termination
+            val rows = nextActive.collect()
+            active = spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), nextActive.schema)
+            frontierN = rows.length.toLong
+          } else {
+            // large frontiers: keep it lazy (the gather's semi-join
+            // evaluates it in place); the loop runs on a conservative
+            // over-estimate and terminates via nWant == 0. The salt path
+            // reads `active` twice — only there is a ckpt worth its job.
+            active = if (cfg.saltFactor > 1) nextActive.ckpt else nextActive
+            val nGated = counts.get(true).map(_._1).getOrElse(0L)
+            frontierN = math.max(1L,
+              math.min(nVerts - 1, (nMoves * avgDeg).toLong + nGated))
+          }
         }
       }
       sweep += 1
@@ -578,11 +660,20 @@ object Leiden {
       freshIdBase: Long = 0L): RefinementOut = {
 
     val spark = adj.sparkSession
+    val unitSize = nodeSize.isEmpty
     val sz = nodeSize.getOrElse(
       assign.select(col("v"), lit(1L).as("size"))).select("v", "size")
     var a = assign
     var refined: DataFrame = null
     var freshUsed = 0L
+    // phase timing to stderr when GRAFT_DEBUG_TIMING=1 (diagnostics only)
+    val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debugT) {
+      val now = System.nanoTime()
+      System.err.println(f"[ref] $phase%-14s ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
 
     if (isInitial) {
       // identity subcommunities are all singletons — no split possible;
@@ -591,15 +682,24 @@ object Leiden {
     } else {
       // --- phase 1: connected-component split of affected subcommunities
       // (hit_leiden.rs:296-371, BFS -> distributed hash-min CC restricted
-      // to intra-subcommunity edges)
-      val affScs = a.join(affected.select("v"), Seq("v"), "left_semi")
+      // to intra-subcommunity edges). The affected set is delta-bound on
+      // warm updates: broadcast it into the semi-joins so the V-sized
+      // assignment streams map-side instead of being exchanged.
+      val nAffected = affected.count()
+      val affScs = a.join(
+          graft.util.Bcast.ifFits(affected.select("v"), nAffected, 16),
+          Seq("v"), "left_semi")
         .select(col("subcomm")).distinct().ckpt
       // members of affected subcommunities: delta-bound on warm updates.
       // When the set is small, its label projections broadcast into the
       // intra-edge extraction so the big adjacency streams map-side —
       // the unconditional form sort-merge-joined the full adjacency
       // against the full assignment twice per batch.
-      val members = a.join(affScs, Seq("subcomm"), "left_semi").ckpt
+      // |affScs| <= |affected| (one subcomm per affected vertex at most),
+      // so the already-known nAffected bounds the broadcast gate — no
+      // extra count action
+      val members = a.join(graft.util.Bcast.ifFits(affScs, nAffected, 16),
+        Seq("subcomm"), "left_semi").ckpt
       val membersV = members.select("v")
       val nMembers = members.count()
       def mb(df: DataFrame): DataFrame =
@@ -619,69 +719,132 @@ object Leiden {
       // subcommunity can carry orders of magnitude more edges than
       // members; collecting those would land on the driver heap) —
       // mirrors ConnectedComponents.run's two-sided guard.
-      val comps = // (v, component = min member id)
-        if (cfg.localSolveEdges > 0 && nMembers <= cfg.localSolveEdges) {
-          val intraC = intra.ckpt
-          val nIntra = intraC.count()
-          if (nIntra <= cfg.localSolveEdges) {
-            import spark.implicits._
-            val vs = membersV.collect().map(_.getLong(0))
-            val es = intraC.collect().map(r => (r.getLong(0), r.getLong(1)))
-            LocalLeiden.localComponents(vs, es).toSeq
-              .toDF("v", "component")
-          } else ConnectedComponents.run(intraC,
-            vertices = Some(membersV), sink = MetricsSink.discard).components
-        } else ConnectedComponents.run(intra,
+      //
+      // On the local path the ENTIRE largest-keeps-id bookkeeping
+      // (fragment sizes, keeper choice, fresh-id ranks — hit_leiden.rs:
+      // 352-370) runs on the driver over the already-collected members:
+      // what used to be ~6 fixed-cost jobs (ckpts, windows, counts)
+      // becomes pure JVM work, and only the final V-sized relabel touches
+      // the cluster. The distributed path keeps the window machinery.
+      mark("phase1-scope")
+      var localSplit = false
+      if (cfg.localSolveEdges > 0 && nMembers <= cfg.localSolveEdges) {
+        val intraC = intra.ckpt
+        val nIntra = intraC.count()
+        if (nIntra <= cfg.localSolveEdges) {
+          localSplit = true
+          // a USING semi-join moves the key column first — resolve field
+          // positions by name, never by ordinal
+          val vIdx = members.schema.fieldIndex("v")
+          val scIdx = members.schema.fieldIndex("subcomm")
+          val memRows = members.collect()
+          val vs = memRows.map(_.getLong(vIdx))
+          val es = intraC.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val comp = LocalLeiden.localComponents(vs, es)
+          mark("phase1-collect")
+          val scOf = memRows.iterator
+            .map(r => r.getLong(vIdx) -> r.getLong(scIdx)).toMap
+          // fragment sizes per (subcomm, component)
+          val fragN = mutable.HashMap.empty[(Long, Long), Long]
+          vs.foreach { v =>
+            val k = (scOf(v), comp(v))
+            fragN(k) = fragN.getOrElse(k, 0L) + 1L
+          }
+          // keeper per subcomm: largest fragment, ties to the smallest
+          // component id (same order as the distributed wKeep window)
+          val keeperOf = fragN.toSeq.groupBy(_._1._1).map { case (sc, fs) =>
+            sc -> fs.maxBy { case ((_, c), n) => (n, -c) }._1._2
+          }
+          // fresh ids in ascending (subcomm, component) order — identical
+          // to the distributed wFresh global window
+          val freshFrags = fragN.keysIterator
+            .filter { case (sc, c) => keeperOf(sc) != c }.toSeq.sorted
+          freshUsed = freshFrags.length.toLong
+          val newScOf: Map[(Long, Long), Long] =
+            keeperOf.map { case (sc, c) => (sc, c) -> sc } ++
+              freshFrags.zipWithIndex.map { case (k, i) =>
+                k -> (freshIdBase + i + 1)
+              }
+          // per-vertex relabel map, applied to the V-sized assignment as
+          // one broadcast overlay join
+          val relabRows = memRows.iterator.map { r =>
+            val v = r.getLong(vIdx)
+            org.apache.spark.sql.Row(v, newScOf((scOf(v), comp(v))))
+          }.toSeq
+          import org.apache.spark.sql.types._
+          val relabDf = spark.createDataFrame(
+            new java.util.ArrayList(relabRows.asJava),
+            StructType(Seq(StructField("v", LongType, nullable = false),
+              StructField("newSc", LongType, nullable = false))))
+          refined = spark.createDataFrame(
+            new java.util.ArrayList(relabRows.collect {
+              case r if r.getLong(1) != scOf(r.getLong(0)) =>
+                org.apache.spark.sql.Row(r.getLong(0))
+            }.asJava),
+            StructType(Seq(StructField("v", LongType, nullable = false))))
+          a = a.join(broadcast(relabDf), Seq("v"), "left")
+            .select(col("v"), col("community"),
+              coalesce(col("newSc"), col("subcomm")).as("subcomm")).ckpt
+          mark("phase1-relabel")
+        }
+      }
+      if (!localSplit) {
+        val comps = ConnectedComponents.run(intra,
           vertices = Some(membersV), sink = MetricsSink.discard).components
 
-      // largest-component-keeps-id (hit_leiden.rs:352-370, paper section
-      // 5.1): the biggest fragment of a split keeps the old subcommunity
-      // id — community-id stability a GraphRAG user diffing batch N vs
-      // N+1 observes — and the rest get fresh counter ids above the
-      // caller's watermark. The fresh-rank window is global but bounded
-      // by the number of SPLIT fragments this batch (delta-sized).
-      import org.apache.spark.sql.expressions.Window
-      // comps vertices are exactly the members set — join the small table
-      val withSc = comps.join(members.select(col("v"), col("subcomm")), "v")
-      val compSizes = withSc.groupBy("subcomm", "component")
-        .agg(count(lit(1)).as("n")).ckpt
-      val wKeep = Window.partitionBy("subcomm")
-        .orderBy(desc("n"), asc("component"))
-      val ranked = compSizes.withColumn("rn", row_number().over(wKeep))
-      val keepers = ranked.where(col("rn") === 1)
-        .select(col("subcomm"), col("component"),
-          col("subcomm").as("newSc"))
-      // Enforce (not just document) the delta-bound of the global fresh-id
-      // window: it is a single-partition sort over the batch's SPLIT
-      // fragments only. One cheap agg over the already-checkpointed
-      // compSizes turns the assumption into a guard that fails loudly
-      // before a pathological batch funnels millions of rows through one
-      // task.
-      val Array(nFragRow) = compSizes
-        .agg(count(lit(1)).as("frags"),
-          count_distinct(col("subcomm")).as("scs")).collect()
-      val nSplitFrags = nFragRow.getLong(0) - nFragRow.getLong(1)
-      require(nSplitFrags <= 50_000_000L,
-        s"refinement split produced $nSplitFrags fresh fragments — " +
-          "exceeds the single-partition fresh-id window bound; " +
-          "batch is not delta-sized")
-      val wFresh = Window.orderBy("subcomm", "component")
-      val freshComps = ranked.where(col("rn") > 1)
-        .select(col("subcomm"), col("component"),
-          (lit(freshIdBase) + row_number().over(wFresh)).as("newSc"))
-        .ckpt
-      freshUsed = freshComps.count()
-      val scMap = keepers.unionAll(freshComps)
-      val relabeled = a
-        .join(mb(withSc.select(col("v"), col("component"))), Seq("v"), "left")
-        .join(mb(scMap), Seq("subcomm", "component"), "left")
-        .select(col("v"), col("community"),
-          coalesce(col("newSc"), col("subcomm")).as("newSc"),
-          col("subcomm"))
-      refined = relabeled.where(col("newSc") =!= col("subcomm")).select("v")
-        .ckpt
-      a = relabeled.select(col("v"), col("community"),
-        col("newSc").as("subcomm")).ckpt
+        // largest-component-keeps-id (hit_leiden.rs:352-370, paper
+        // section 5.1): the biggest fragment of a split keeps the old
+        // subcommunity id — community-id stability a GraphRAG user
+        // diffing batch N vs N+1 observes — and the rest get fresh
+        // counter ids above the caller's watermark. The fresh-rank
+        // window is global but bounded by the SPLIT fragments this batch.
+        import org.apache.spark.sql.expressions.Window
+        // comps vertices are exactly the members set — join the small one
+        val withSc = comps.join(members.select(col("v"), col("subcomm")),
+          "v")
+        val compSizes = withSc.groupBy("subcomm", "component")
+          .agg(count(lit(1)).as("n")).ckpt
+        val wKeep = Window.partitionBy("subcomm")
+          .orderBy(desc("n"), asc("component"))
+        val ranked = compSizes.withColumn("rn", row_number().over(wKeep))
+        val keepers = ranked.where(col("rn") === 1)
+          .select(col("subcomm"), col("component"),
+            col("subcomm").as("newSc"))
+        // Enforce (not just document) the delta-bound of the global
+        // fresh-id window: it is a single-partition sort over the batch's
+        // SPLIT fragments only. One cheap agg over the checkpointed
+        // compSizes turns the assumption into a guard that fails loudly
+        // before a pathological batch funnels millions of rows through
+        // one task.
+        val Array(nFragRow) = compSizes
+          .agg(count(lit(1)).as("frags"),
+            count_distinct(col("subcomm")).as("scs")).collect()
+        val nSplitFrags = nFragRow.getLong(0) - nFragRow.getLong(1)
+        require(nSplitFrags <= 50_000_000L,
+          s"refinement split produced $nSplitFrags fresh fragments — " +
+            "exceeds the single-partition fresh-id window bound; " +
+            "batch is not delta-sized")
+        val wFresh = Window.orderBy("subcomm", "component")
+        val freshComps = ranked.where(col("rn") > 1)
+          .select(col("subcomm"), col("component"),
+            (lit(freshIdBase) + row_number().over(wFresh)).as("newSc"))
+          .ckpt
+        // rn > 1 rows are exactly the non-keeper fragments counted above
+        freshUsed = nSplitFrags
+        val scMap = keepers.unionAll(freshComps)
+        val relabeled = a
+          .join(mb(withSc.select(col("v"), col("component"))), Seq("v"),
+            "left")
+          .join(mb(scMap), Seq("subcomm", "component"), "left")
+          .select(col("v"), col("community"),
+            coalesce(col("newSc"), col("subcomm")).as("newSc"),
+            col("subcomm"))
+        refined = relabeled.where(col("newSc") =!= col("subcomm"))
+          .select("v").ckpt
+        a = relabeled.select(col("v"), col("community"),
+          col("newSc").as("subcomm")).ckpt
+        mark("phase1-relabel")
+      }
     }
 
     // --- phase 2: merge singleton subcommunities within their community
@@ -696,34 +859,65 @@ object Leiden {
       if (isInitial) null
       else a.join(refined, Seq("v"), "left_semi")
         .select("community").distinct().ckpt
+    val nAffComms = if (isInitial) -1L else affComms.count()
     var round = 0
     var moved = 1L
     while (moved > 0 && round < cfg.maxRefineRounds) {
       val t0 = System.nanoTime()
       // communities are fixed during refinement, but subcomms move — the
-      // scope filter re-applies to the CURRENT assignment each round
+      // scope filter re-applies to the CURRENT assignment each round.
+      // Incremental rounds: the scope is delta-bound, so it is
+      // materialized once per round and broadcast into every join against
+      // a V/E-sized table (adjacency, degrees) — those tables then stream
+      // map-side and nothing bigger than the scope is exchanged. Initial
+      // (V-sized) rounds keep the shuffled joins.
       val scope =
         if (isInitial) a
-        else a.join(affComms, Seq("community"), "left_semi")
+        else a.join(
+          graft.util.Bcast.ifFits(affComms, nAffComms, 16),
+          Seq("community"), "left_semi").ckpt
+      val scopeSmall = !isInitial && {
+        val n = scope.count()
+        graft.util.Bcast.fits(n, bytesPerRow = 48)
+      }
+      def sb(df: DataFrame): DataFrame =
+        if (scopeSmall) broadcast(df) else df
       // scn = member count at this level (the singleton test is on level
       // vertices, hit_leiden.rs:420); scbase = total base vertices (CPM);
-      // scdeg = total weighted degree — all three in ONE aggregation job
-      val scStats = scope.join(sz, "v").join(deg, "v").groupBy("subcomm")
-        .agg(count(lit(1)).as("scn"), sum("size").as("scbase"),
-          sum("deg").as("scdeg"))
-        .ckpt
+      // scdeg = total weighted degree — all in ONE aggregation job. With
+      // unit sizes (level 0) the sz join is dropped: scbase == scn.
+      val scStats = {
+        val withDeg =
+          if (scopeSmall)
+            // broadcast the scope keys; the V-sized degree chain streams
+            deg.join(sb(scope.select("v", "subcomm")), "v")
+          else scope.join(deg, "v")
+        val base =
+          if (unitSize) withDeg.groupBy("subcomm")
+            .agg(count(lit(1)).as("scn"), sum("deg").as("scdeg"))
+            .withColumn("scbase", col("scn"))
+          else {
+            val s = if (scopeSmall) sz.join(sb(withDeg
+                .select("v", "subcomm", "deg")), "v")
+              else withDeg.join(sz, "v")
+            s.groupBy("subcomm")
+              .agg(count(lit(1)).as("scn"), sum("size").as("scbase"),
+                sum("deg").as("scdeg"))
+          }
+        base.ckpt
+      }
       val scSizes = scStats.select("subcomm", "scn", "scbase")
       val scDeg = scStats.select("subcomm", "scdeg")
 
-      val singles = a.join(refined, Seq("v"), "left_semi")
-        .join(scSizes.where(col("scn") === 1).select("subcomm"),
+      val singles = a.join(sb(refined), Seq("v"), "left_semi")
+        .join(sb(scSizes.where(col("scn") === 1).select("subcomm")),
           Seq("subcomm"), "left_semi")
         .select(col("v").as("src"), col("community").as("myComm"),
           col("subcomm").as("mySc"))
 
-      val g = adj.join(singles, "src")
-        .join(scope.select(col("v").as("dst"), col("community").as("nComm"),
-          col("subcomm").as("nSc")), "dst")
+      val g = adj.join(sb(singles), "src")
+        .join(sb(scope.select(col("v").as("dst"),
+          col("community").as("nComm"), col("subcomm").as("nSc"))), "dst")
         .where(col("nComm") === col("myComm")) // within community only
         .where(col("src") =!= col("dst")) // self-loops cancel out of gain
       val bySc = g.groupBy(col("src"), col("mySc"), col("nSc"))
@@ -743,29 +937,56 @@ object Leiden {
           (col("wTo") - coalesce(col("wCur"), lit(0.0))) / m2 +
             lit(cfg.gamma) * col("dv") *
             (col("scdegCur") - col("dv") - col("scdegCand")) / (m2 * m2)
-      val cand = withCur.where(col("nSc") =!= col("mySc"))
-        .join(deg.select(col("v").as("src"), col("deg").as("dv")), "src")
-        .join(sz.select(col("v").as("src"), col("size").as("szv")), "src")
-        .join(scDeg.select(col("subcomm").as("mySc"),
-          col("scdeg").as("scdegCur")), "mySc")
-        .join(scDeg.select(col("subcomm").as("nSc"),
-          col("scdeg").as("scdegCand")), "nSc")
-        .join(scSizes.select(col("subcomm").as("nSc"), col("scn"),
-          col("scbase")), "nSc")
+      // per-vertex degree/size lookups restricted to the (small) scope
+      // before joining — the unfiltered V-sized joins were a per-round
+      // exchange each
+      def lk(df: DataFrame): DataFrame =
+        if (!scopeSmall) df
+        else broadcast(df.join(
+          broadcast(scope.select(col("v").as("src"))), Seq("src"),
+          "left_semi"))
+      val candDeg = withCur.where(col("nSc") =!= col("mySc"))
+        .join(lk(deg.select(col("v").as("src"), col("deg").as("dv"))), "src")
+      val candSz =
+        if (unitSize) candDeg.withColumn("szv", lit(1L))
+        else candDeg.join(
+          lk(sz.select(col("v").as("src"), col("size").as("szv"))), "src")
+      val cand = candSz
+        .join(sb(scDeg.select(col("subcomm").as("mySc"),
+          col("scdeg").as("scdegCur"))), "mySc")
+        .join(sb(scDeg.select(col("subcomm").as("nSc"),
+          col("scdeg").as("scdegCand"))), "nSc")
+        .join(sb(scSizes.select(col("subcomm").as("nSc"), col("scn"),
+          col("scbase"))), "nSc")
         .withColumn("gain", refGain)
         .where(col("gain") > 0)
         // anti-swap guard: merging into another singleton only flows
         // toward the smaller subcommunity id
         .where(col("scn") > 1 || col("nSc") < col("mySc"))
 
-      val moves = cand.groupBy(col("src").as("v"))
+      val moves0 = cand.groupBy(col("src").as("v"))
         .agg(max_by(struct(col("nSc").as("newSc"), col("gain")),
           struct(col("gain"), negate(col("nSc")))).as("m"))
         .select(col("v"), col("m.newSc").as("newSc"), col("m.gain").as("gain"))
-        .ckpt
-      val mstats = moves.agg(count(lit(1)), sum("gain")).collect()(0)
-      moved = mstats.getLong(0)
-      val gSum = if (mstats.isNullAt(1)) 0.0 else mstats.getDouble(1)
+      // delta-bound rounds: ONE action — collect the merge table and turn
+      // it into a local relation (stats come off the rows, the overlay
+      // join broadcasts it for free); V-sized rounds keep ckpt + agg
+      var mRows: Array[org.apache.spark.sql.Row] = null
+      val moves =
+        if (scopeSmall) {
+          mRows = moves0.collect()
+          spark.createDataFrame(java.util.Arrays.asList(mRows: _*),
+            moves0.schema)
+        } else moves0.ckpt
+      val gSum =
+        if (scopeSmall) {
+          moved = mRows.length.toLong
+          mRows.iterator.map(_.getDouble(2)).sum
+        } else {
+          val mstats = moves.agg(count(lit(1)), sum("gain")).collect()(0)
+          moved = mstats.getLong(0)
+          if (mstats.isNullAt(1)) 0.0 else mstats.getDouble(1)
+        }
       if (moved > 0) {
         // lazy overlay, flattened every other round (see movement);
         // broadcast gated on the applied merge count like movement's

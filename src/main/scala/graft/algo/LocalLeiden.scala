@@ -102,10 +102,25 @@ object LocalLeiden {
     * the component's min member id. */
   def repairConnectivity(es: Array[(Long, Long, Double)],
       carried: Map[Long, Long]): Map[Long, Long] = {
-    // densify: sorted distinct ids from edge endpoints + carried keys
-    val all = new Array[Long](es.length * 2 + carried.size)
+    val src = new Array[Long](es.length)
+    val dst = new Array[Long](es.length)
     var i = 0
-    es.foreach { e => all(i) = e._1; all(i + 1) = e._2; i += 2 }
+    while (i < es.length) { src(i) = es(i)._1; dst(i) = es(i)._2; i += 1 }
+    repairConnectivity(src, dst, carried)
+  }
+
+  /** Primitive-array form — the hot path for per-batch supergraph
+    * repair: no per-edge tuple boxing (a 2.6M-edge supergraph means
+    * millions of avoidable allocations per warm batch). */
+  def repairConnectivity(eSrc: Array[Long], eDst: Array[Long],
+      carried: Map[Long, Long]): Map[Long, Long] = {
+    // densify: sorted distinct ids from edge endpoints + carried keys
+    val all = new Array[Long](eSrc.length * 2 + carried.size)
+    var i = 0
+    var e = 0
+    while (e < eSrc.length) {
+      all(i) = eSrc(e); all(i + 1) = eDst(e); i += 2; e += 1
+    }
     carried.keysIterator.foreach { k => all(i) = k; i += 1 }
     java.util.Arrays.sort(all)
     var m = 0
@@ -126,14 +141,16 @@ object LocalLeiden {
       while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    es.foreach { case (u, v, _) =>
-      val iu = idx(u); val iv = idx(v)
+    e = 0
+    while (e < eSrc.length) {
+      val iu = idx(eSrc(e)); val iv = idx(eDst(e))
       if (comm(iu) == comm(iv)) {
         val ra = find(iu); val rb = find(iv)
         if (ra != rb) {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
+      e += 1
     }
     val out = Map.newBuilder[Long, Long]
     var k = 0
@@ -183,15 +200,41 @@ object LocalLeiden {
       nodeSize: Map[Long, Long],
       initial: Map[Long, Long],
       cfg: Leiden.Config): Map[Long, Long] = {
-    if (edges.isEmpty)
+    val eSrc = new Array[Long](edges.length)
+    val eDst = new Array[Long](edges.length)
+    val eW = new Array[Double](edges.length)
+    var i = 0
+    while (i < edges.length) {
+      eSrc(i) = edges(i)._1; eDst(i) = edges(i)._2; eW(i) = edges(i)._3
+      i += 1
+    }
+    solve(eSrc, eDst, eW, nodeSize, initial, cfg)
+  }
+
+  /** Primitive-array form — the hot path for the per-batch supergraph
+    * re-solve (no per-edge tuple boxing). */
+  def solve(eSrc: Array[Long], eDst: Array[Long], eW: Array[Double],
+      nodeSize: Map[Long, Long],
+      initial: Map[Long, Long],
+      cfg: Leiden.Config): Map[Long, Long] = {
+    if (eSrc.isEmpty)
       return (nodeSize.keySet ++ initial.keySet).map(v => v -> v).toMap
+    // phase timing to stderr when GRAFT_DEBUG_TIMING=1 (diagnostics only)
+    val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debugT) {
+      val now = System.nanoTime()
+      System.err.println(f"[loc] $phase%-14s ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
 
     // densify external ids once (sorted -> binary search)
     val verts: Array[Long] = {
-      val all = new Array[Long](edges.length * 2)
+      val all = new Array[Long](eSrc.length * 2)
       var i = 0
-      edges.foreach { e =>
-        all(i) = e._1; all(i + 1) = e._2; i += 2
+      var e = 0
+      while (e < eSrc.length) {
+        all(i) = eSrc(e); all(i + 1) = eDst(e); i += 2; e += 1
       }
       java.util.Arrays.sort(all)
       var m = 0
@@ -203,15 +246,18 @@ object LocalLeiden {
       java.util.Arrays.copyOf(all, m)
     }
     val nBase = verts.length
+    mark("densify")
     def idx(v: Long): Int = java.util.Arrays.binarySearch(verts, v)
 
     // level-0 merged canonical edges as packed keys (i <= j)
     var (src, dst, w) = {
-      val map = new LongDoubleMap(edges.length)
-      edges.foreach { case (u, v, wt) =>
-        val i = idx(u); val j = idx(v)
+      val map = new LongDoubleMap(eSrc.length)
+      var e = 0
+      while (e < eSrc.length) {
+        val i = idx(eSrc(e)); val j = idx(eDst(e))
         val (a, b) = if (i <= j) (i, j) else (j, i)
-        map.add((a.toLong << 32) | b.toLong, wt)
+        map.add((a.toLong << 32) | b.toLong, eW(e))
+        e += 1
       }
       unpack(map)
     }
@@ -219,6 +265,7 @@ object LocalLeiden {
     // total weight; totalWeight counts a canonical edge once)
     var m2 = 0.0
     w.foreach(m2 += 2.0 * _)
+    mark("pack-edges")
 
     var n = nBase
     var sizes = Array.tabulate(n)(i =>
@@ -242,6 +289,7 @@ object LocalLeiden {
     var done = false
     while (!done && level < cfg.maxLevels) {
       val (comm, sub) = solveLevel(n, src, dst, w, sizes, commInit, m2, cfg)
+      mark(s"level-$level n=$n e=${src.length}")
       topComm = comm
       // remap subcommunities to dense next-level ids (first-occurrence
       // order — deterministic)
