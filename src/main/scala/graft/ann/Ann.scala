@@ -89,15 +89,7 @@ object Ann {
     * of pure planning time for 64x16. */
   def rhpSignature(vec: Column, dim: Int, planes: Int,
       seed: Long = 42L): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val signs = Array.tabulate(planes, dim) { (j, i) =>
-      // the exact value of pmod(xxhash64(lit(seed), lit(j), lit(i)), 2):
-      // same XxHash64 expression (default seed 42, Long/Int/Int children)
-      // evaluated eagerly; pmod on a positive modulus is floorMod
-      val h = XxHash64(Seq(Literal(seed), Literal(j), Literal(i)), 42L)
-        .eval(null).asInstanceOf[Long]
-      if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0d else -1.0d
-    }
+    val signs = signTable(dim, planes, seed)
     val bits = (0 until planes).map { j =>
       val s = (0 until dim).map { i =>
         element_at(vec, i + 1).cast("double") * lit(signs(j)(i))
@@ -107,11 +99,57 @@ object Ann {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** The signature sign table: plane j's i-th component is +-1 from
+    * xxhash64(seed, j, i), folded driver-side (see [[rhpSignature]]). */
+  private def signTable(dim: Int, planes: Int,
+      seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    Array.tabulate(planes, dim) { (j, i) =>
+      // the exact value of pmod(xxhash64(lit(seed), lit(j), lit(i)), 2):
+      // same XxHash64 expression (default seed 42, Long/Int/Int children)
+      // evaluated eagerly; pmod on a positive modulus is floorMod
+      val h = XxHash64(Seq(Literal(seed), Literal(j), Literal(i)), 42L)
+        .eval(null).asInstanceOf[Long]
+      if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0d else -1.0d
+    }
+  }
+
+  /** [[rhpSignature]] as a COMPACT plan: per plane, one interpreted
+    * `aggregate(zip_with(vec, <literal sign array>))` instead of `dim`
+    * unrolled scalar nodes — ~150 expression nodes total vs ~1000+ for
+    * 64x16. Values are bit-identical (the fold runs in the same index
+    * order; the extra 0.0 seed cannot change any partial sum except the
+    * sign of a zero, which the `> 0` bit test ignores) — pinned by
+    * FastPathEquivalenceSpec.
+    *
+    * Trade-off: interpreted per-row evaluation vs codegen. The unrolled
+    * form wins on large corpora (the 100 TB path); this form wins when
+    * the input is sketch-sized and OPTIMIZER time on the thousand-node
+    * tree dominates end-to-end latency — the same adaptive choice as the
+    * engine's local-solve fast paths, opted into by the caller. */
+  def rhpSignatureCompact(vec: Column, dim: Int, planes: Int,
+      seed: Long = 42L): Column = {
+    val signs = signTable(dim, planes, seed)
+    val v = vec.cast("array<double>")
+    val bits = (0 until planes).map { j =>
+      val s = aggregate(
+        zip_with(v, typedLit(signs(j).toSeq), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
   /** LSH-bucketed approximate top-k: band the signature into `bands`
     * buckets, candidates = same bucket in any band, then exact cosine +
-    * window top-k on the candidates only. */
+    * window top-k on the candidates only.
+    *
+    * @param compactSig use [[rhpSignatureCompact]] (identical values,
+    *   interpreted evaluation, ~10x smaller plan) — for sketch-sized
+    *   inputs where planning dominates; leave false on large corpora. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+      planes: Int = 16, bands: Int = 4, seed: Long = 42L,
+      compactSig: Boolean = false): DataFrame = {
     require(planes % bands == 0)
     val r = planes / bands
     val mask = (1L << r) - 1
@@ -121,7 +159,8 @@ object Ann {
         nName: String) =
       df.select(col("id").as(idName),
         col("vec").cast("array<double>").as(vecName),
-        rhpSignature(col("vec"), dim, planes, seed).as("sig"))
+        (if (compactSig) rhpSignatureCompact(col("vec"), dim, planes, seed)
+         else rhpSignature(col("vec"), dim, planes, seed)).as("sig"))
         .withColumn(nName, normN(col(vecName), dim))
         .select(col(idName), col(vecName), col(nName),
           posexplode(array((0 until bands).map(b =>

@@ -180,14 +180,16 @@ object Dedup {
     * verifies. Recall < 1 by design — the price of scale; tune
     * planes/bands for the target radius. */
   def embeddingNearDupLsh(emb: DataFrame, minCos: Double, dim: Int,
-      planes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+      planes: Int = 16, bands: Int = 4, seed: Long = 42L,
+      compactSig: Boolean = false): DataFrame = {
     import graft.ann.Ann
     require(planes % bands == 0)
     val r = planes / bands
     val mask = (1L << r) - 1
     val sig = emb.select(col("id"),
       col("vec").cast("array<double>").as("v"),
-      Ann.rhpSignature(col("vec"), dim, planes, seed).as("sig"))
+      (if (compactSig) Ann.rhpSignatureCompact(col("vec"), dim, planes, seed)
+       else Ann.rhpSignature(col("vec"), dim, planes, seed)).as("sig"))
       .withColumn("n", Ann.normN(col("v"), dim))
       .select(col("id"), col("v"), col("n"),
         posexplode(array((0 until bands).map(b =>

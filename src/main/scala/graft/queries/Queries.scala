@@ -187,10 +187,16 @@ object Queries {
     graft.ann.Ann.bruteTopK(emb.where(col("id") < 10), emb, k = 5, dim = 64)
   }
 
+  /** Sketch-sized input (10 queries x a small corpus): planning time on
+    * the unrolled signature tree dominates, so this opts into the
+    * value-identical compact form (FastPathEquivalenceSpec pins the
+    * equivalence; the unrolled codegen form stays the default scale
+    * path). */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    graft.ann.Ann.lshTopK(emb.where(col("id") < 10), emb, k = 5, dim = 64)
+    graft.ann.Ann.lshTopK(emb.where(col("id") < 10), emb, k = 5, dim = 64,
+      compactSig = true)
   }
 
   /** Driver-visible recall evidence for the whole LSH family (VERDICT
@@ -236,7 +242,7 @@ object Queries {
     val nEmb = emb0.count()
     val allEmb = emb0.unionAll(jitter(emb0)).localCheckpoint(true)
     val el = plantedOnly(graft.dedup.Dedup.embeddingNearDupLsh(
-      allEmb, minCos = 0.9, dim = 64), "embedding_lsh")
+      allEmb, minCos = 0.9, dim = 64, compactSig = true), "embedding_lsh")
 
     // ANN: does the LSH top-5 retrieve each query's planted NEAR neighbor
     // (its jittered copy, cosine ~0.999)? That is the property LSH
@@ -248,7 +254,8 @@ object Queries {
     val queries = corpus0.where(col("id") < 20)
     val corpus = corpus0.unionAll(jitter(queries)).localCheckpoint(true)
     val nQ = queries.count()
-    val ann = graft.ann.Ann.lshTopK(queries, corpus, k = 5, dim = 64)
+    val ann = graft.ann.Ann.lshTopK(queries, corpus, k = 5, dim = 64,
+      compactSig = true)
       .where(col("neighbor_id") === col("query_id") + off)
       .select(lit("ann_lsh_top5").as("family"))
 

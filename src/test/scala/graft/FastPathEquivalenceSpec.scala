@@ -80,4 +80,21 @@ class FastPathEquivalenceSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.forall { case (a, b) => a == b }, got.mkString(","))
   }
+
+  test("compact rhp signature == unrolled rhp signature") {
+    // the compact (literal-array HOF) plan must produce the identical
+    // signature bits as the unrolled codegen form — the small-input
+    // queries opt into it on that guarantee
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 32).map { r =>
+      (r.toLong, (0 until 64).map(i =>
+        ((r * 37 + i * 11) % 17 - 8).toFloat / 5f).toArray)
+    }.toDF("id", "vec")
+    val got = vecs.select(col("id"),
+      Ann.rhpSignature(col("vec"), 64, 16).as("a"),
+      Ann.rhpSignatureCompact(col("vec"), 64, 16).as("b"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (a, b) => a == b }, got.mkString(","))
+  }
 }
