@@ -39,6 +39,46 @@ import graft.run.MetricsSink
   */
 object Incremental {
 
+  /** Driver-side mirror of a LOCAL-SOLVE-SIZED supergraph: canonical
+    * (src, dst, weight) primitive arrays sorted by (src, dst). Only ever
+    * built when the supergraph already passes `localSolveEdges` (i.e. it
+    * is driver-collectable by definition); maintained per batch by a
+    * linear signed-delta merge, which removes the per-batch re-collect +
+    * re-pack of millions of unchanged edges from the warm path. The
+    * content invariant (cache == superCanon table) is exact: the merge
+    * applies the same w0+dw sum and the same |w| > eps drop as
+    * [[EdgeOps.mergeDelta]], and two-operand float addition is
+    * commutative, so not even the float rounding differs. */
+  final case class SuperEdges(src: Array[Long], dst: Array[Long],
+      w: Array[Double])
+
+  /** Linear merge of a canonical signed delta into the sorted cache. */
+  private[algo] def mergeSuperArrays(c: SuperEdges,
+      delta: Array[(Long, Long, Double)], eps: Double): SuperEdges = {
+    val d = delta.sortBy(e => (e._1, e._2))
+    val n = c.src.length; val m = d.length
+    val oSrc = new Array[Long](n + m)
+    val oDst = new Array[Long](n + m)
+    val oW = new Array[Double](n + m)
+    var i = 0; var j = 0; var k = 0
+    def cmp(ci: Int, dj: Int): Int = {
+      val s = java.lang.Long.compare(c.src(ci), d(dj)._1)
+      if (s != 0) s else java.lang.Long.compare(c.dst(ci), d(dj)._2)
+    }
+    def emit(s: Long, t: Long, wt: Double): Unit =
+      if (math.abs(wt) > eps) { oSrc(k) = s; oDst(k) = t; oW(k) = wt; k += 1 }
+    while (i < n && j < m) {
+      val r = cmp(i, j)
+      if (r < 0) { emit(c.src(i), c.dst(i), c.w(i)); i += 1 }
+      else if (r > 0) { emit(d(j)._1, d(j)._2, d(j)._3); j += 1 }
+      else { emit(c.src(i), c.dst(i), c.w(i) + d(j)._3); i += 1; j += 1 }
+    }
+    while (i < n) { emit(c.src(i), c.dst(i), c.w(i)); i += 1 }
+    while (j < m) { emit(d(j)._1, d(j)._2, d(j)._3); j += 1 }
+    SuperEdges(java.util.Arrays.copyOf(oSrc, k),
+      java.util.Arrays.copyOf(oDst, k), java.util.Arrays.copyOf(oW, k))
+  }
+
   /** Durable-canon option: the level-0 edge table lives in a
     * [[graft.graph.BucketedEdges]] bucket-partitioned parquet store and
     * every delta merge is a bucket-pruned read-merge-overwrite of only the
@@ -68,7 +108,12 @@ object Incremental {
         * chain (delta-sized work) and is materialized O(V) only every
         * 4th batch. */
       epoch: Int = 0,
-      durable: Option[DurableCanon] = None)
+      durable: Option[DurableCanon] = None,
+      /** driver-side sorted-array mirror of superCanon, present only
+        * while the supergraph is local-solve-sized (see [[SuperEdges]]);
+        * purely an optimization — absent after resume, rebuilt on the
+        * next batch's collect */
+      superCache: Option[SuperEdges] = None)
 
   /** Fill derivable fields absent after a resume or an old-format call:
     * degrees, the live supergraph (contract by subcomm — the invariant
@@ -122,10 +167,15 @@ object Incremental {
     val mv = Leiden.movement(adj, deg, m2, init, verts, cfg, sink, 0)
     val ref = Leiden.refinement(adj, deg, m2, mv.assign, verts, cfg, sink, 0,
       isInitial = true)
-    val assign = resolveSuper(
-      contractBySubcomm(canon, ref.assign, cfg.eps).ckpt,
-      ref.assign, cfg, sink)
-    hydrate(State(canon, assign, m2, deg = deg, durable = durable), cfg.eps)
+    // the state's superCanon must be the SAME materialized table the
+    // cache mirrors (resolveSuper only moves communities, never
+    // subcomms, so contract-by-subcomm of the final assignment equals
+    // this one — but recomputing it would re-run float sums in a
+    // different aggregation order and break the cache's exactness)
+    val sc0 = contractBySubcomm(canon, ref.assign, cfg.eps).ckpt
+    val (assign, superCache) = resolveSuper(sc0, ref.assign, cfg, sink)
+    hydrate(State(canon, assign, m2, deg = deg, superCanon = sc0,
+      durable = durable, superCache = superCache), cfg.eps)
   }
 
   /** Solve the (small) supergraph with the carried communities as the
@@ -137,7 +187,8 @@ object Incremental {
     * connectivity guarantee on the seed first by replacing each carried
     * community with its connected components on the supergraph. */
   private def resolveSuper(superCanon: DataFrame, assign: DataFrame,
-      cfg: Leiden.Config, sink: MetricsSink): DataFrame = {
+      cfg: Leiden.Config, sink: MetricsSink,
+      cache: Option[SuperEdges] = None): (DataFrame, Option[SuperEdges]) = {
     val spark = superCanon.sparkSession
     import spark.implicits._
     val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
@@ -153,25 +204,37 @@ object Incremental {
       .agg(min(col("community")).as("community"))
     mark("carried-agg")
 
+    val nSuper = cache match {
+      case Some(c) => c.src.length.toLong
+      case None => superCanon.count()
+    }
+    var cacheOut: Option[SuperEdges] = None
     val superRes =
-      if (cfg.localSolveEdges > 0 &&
-          superCanon.count() <= cfg.localSolveEdges) {
+      if (cfg.localSolveEdges > 0 && nSuper <= cfg.localSolveEdges) {
         // supergraph fits: connectivity repair (union-find) AND the full
-        // hierarchy solve run sequentially on the collected PRIMITIVE
-        // arrays — one collect instead of a dozen fixed-cost distributed
-        // jobs per batch, and no per-edge tuple boxing on the multi-
-        // million-edge supergraph
-        val rows = superCanon.select("src", "dst", "weight").collect()
-        val eSrc = new Array[Long](rows.length)
-        val eDst = new Array[Long](rows.length)
-        val eW = new Array[Double](rows.length)
-        var i = 0
-        while (i < rows.length) {
-          val r = rows(i)
-          eSrc(i) = r.getLong(0); eDst(i) = r.getLong(1)
-          eW(i) = r.getDouble(2)
-          i += 1
+        // hierarchy solve run sequentially on PRIMITIVE arrays — one
+        // collect (or none, when the driver-side cache is warm) instead
+        // of a dozen fixed-cost distributed jobs per batch
+        val ce = cache.getOrElse {
+          val rows = superCanon.select("src", "dst", "weight").collect()
+          val order = Array.range(0, rows.length)
+          // keep the mirror sorted by (src, dst) so per-batch delta
+          // merges are a linear two-pointer pass
+          val sorted = order.sortBy(i => (rows(i).getLong(0),
+            rows(i).getLong(1)))
+          val eSrc = new Array[Long](rows.length)
+          val eDst = new Array[Long](rows.length)
+          val eW = new Array[Double](rows.length)
+          var i = 0
+          while (i < rows.length) {
+            val r = rows(sorted(i))
+            eSrc(i) = r.getLong(0); eDst(i) = r.getLong(1)
+            eW(i) = r.getDouble(2)
+            i += 1
+          }
+          SuperEdges(eSrc, eDst, eW)
         }
+        cacheOut = Some(ce)
         val cmM = carried0.collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         mark("collect")
@@ -180,9 +243,10 @@ object Incremental {
             .agg(count(lit(1)).as("size")).collect()
             .map(r => r.getLong(0) -> r.getLong(1)).toMap
           else Map.empty[Long, Long]
-        val repaired = LocalLeiden.repairConnectivity(eSrc, eDst, cmM)
+        val repaired = LocalLeiden.repairConnectivity(ce.src, ce.dst, cmM)
         mark("repair")
-        val solved = LocalLeiden.solve(eSrc, eDst, eW, szM, repaired, cfg)
+        val solved = LocalLeiden.solve(ce.src, ce.dst, ce.w, szM, repaired,
+          cfg, canonicalSorted = true)
         mark("local-solve")
         val out = solved.toSeq.toDF("v", "community")
         mark("toDF")
@@ -226,7 +290,7 @@ object Incremental {
         col("subcomm"))
       .ckpt
     mark("compose")
-    out
+    (out, cacheOut)
   }
 
   /** Apply one signed delta batch, warm-starting from `state`.
@@ -384,13 +448,23 @@ object Incremental {
       .select("v").ckpt
     val (deltaH, _) = IncAggregation(adj, deltaC, sPre0, sCur, refR, cfg.eps)
     val newSuper = EdgeOps.mergeDelta(state.superCanon, deltaH, cfg.eps).ckpt
+    // maintain the driver-side mirror with the SAME signed delta (deltaH
+    // is checkpointed and delta-sized, so this collect is cheap) — the
+    // next resolveSuper then skips its multi-million-row re-collect
+    val mergedCache = state.superCache.map { c =>
+      val dRows = deltaH.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      mergeSuperArrays(c, dRows, cfg.eps)
+    }
     mark("aggregation")
 
     // --- upper levels: re-solve over the maintained supergraph
-    val assign2 = resolveSuper(newSuper, assign1, cfg, sink)
+    val (assign2, cacheOut) = resolveSuper(newSuper, assign1, cfg, sink,
+      mergedCache)
     mark("resolveSuper")
     State(newCanon, assign2, m2, deg = deg, superCanon = newSuper,
-      maxId = maxId, epoch = state.epoch + 1, durable = state.durable)
+      maxId = maxId, epoch = state.epoch + 1, durable = state.durable,
+      superCache = cacheOut)
   }
 
   /** Deterministic cumulative delta batches replicating the reference's

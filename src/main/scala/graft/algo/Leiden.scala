@@ -318,6 +318,12 @@ object Leiden {
 
     while (frontierN > 0 && sweep < cfg.maxSweeps) {
       val t0 = System.nanoTime()
+      // commDeg may carry un-aggregated per-sweep delta rows (see the
+      // union below): consumers read the aggregated view — ONE exchange
+      // regardless of overlay depth, where a join-chain form paid an
+      // exchange per stacked sweep
+      val commDegA = commDeg.groupBy("community")
+        .agg(sum("cdeg").as("cdeg"), sum("csize").as("csize"))
 
       // gather: active vertices' neighbor weights by neighbor community;
       // a full frontier (cold-start first sweep) skips the semi-join.
@@ -364,7 +370,15 @@ object Leiden {
           coldJ.unionAll(hotJ).groupBy(col("src"), col("nbrComm"))
             .agg(sum("weight").as("wTo"))
         } else if (smallGather) {
+          // one exchange for the whole gather->window->argmax chain: an
+          // explicit hash(src) repartition SATISFIES the clustering
+          // requirements of the (src, nbrComm) aggregation, the
+          // wCur window (partitionBy src) and the argmax groupBy(src)
+          // downstream, so none of them adds its own exchange. (Partial
+          // aggregation is lost, but the gather output is frontier-sized
+          // here; the cold path below keeps map-side combine.)
           aByDst.join(broadcast(act), "dst")
+            .repartition(col("src"))
             .groupBy(col("src"), col("nbrComm"))
             .agg(sum("weight").as("wTo"))
         } else {
@@ -416,9 +430,9 @@ object Leiden {
         else candBase.join(
           flt(sz.select(col("v").as("src"), col("size").as("szv"))), "src")
       val cand = candSz
-        .join(commDeg.select(col("community").as("curComm"),
+        .join(commDegA.select(col("community").as("curComm"),
           col("cdeg").as("cdegCur"), col("csize").as("csizeCur")), "curComm")
-        .join(commDeg.select(col("community").as("nbrComm"),
+        .join(commDegA.select(col("community").as("nbrComm"),
           col("cdeg").as("cdegCand"), col("csize").as("csizeCand")),
           "nbrComm")
         .withColumn("gain", gainExpr)
@@ -530,24 +544,25 @@ object Leiden {
 
         // incremental community-degree/size update: a pure projection of
         // the applied moves (old community, degree and size ride in the
-        // argmax payload — zero joins here)
+        // argmax payload — zero joins here). Applied as a UNION of signed
+        // delta rows re-aggregated at the consumer (commDegA above) —
+        // on the small-frontier path the moves table is a local relation
+        // so the delta rows cost nothing, and the stacked form never
+        // deepens the exchange count. Materialized every 4th sweep.
         val cdegDelta = moves.select(explode(array(
           struct(col("oldComm").as("community"), negate(col("dv")).as("d"),
             negate(col("szv")).as("s")),
           struct(col("newComm").as("community"), col("dv").as("d"),
             col("szv").as("s")))).as("x"))
-          .select(col("x.community"), col("x.d"), col("x.s"))
-          .groupBy("community").agg(sum("d").as("d"), sum("s").as("s"))
-        val cdUpd = commDeg.join(cdegDelta, Seq("community"), "full")
-          .select(col("community"),
-            (coalesce(col("cdeg"), lit(0.0)) + coalesce(col("d"), lit(0.0)))
-              .as("cdeg"),
-            (coalesce(col("csize"), lit(0L)) + coalesce(col("s"), lit(0L)))
-              .as("csize"))
-        // materialize only every 4th sweep: the delta chain is a stack of
-        // tiny-table joins, cheap to replay, and each ckpt is a whole
-        // fixed-cost job
-        commDeg = if (sweep % 4 == 3) cdUpd.ckpt else cdUpd
+          .select(col("x.community"), col("x.d").as("cdeg"),
+            col("x.s").as("csize"))
+        val cdUpd = commDeg.select("community", "cdeg", "csize")
+          .unionAll(cdegDelta)
+        commDeg =
+          if (sweep % 4 == 3)
+            cdUpd.groupBy("community")
+              .agg(sum("cdeg").as("cdeg"), sum("csize").as("csize")).ckpt
+          else cdUpd
 
         val mvEdges = moves.select(col("v").as("src"), col("newComm"))
           .join(adj, "src")

@@ -212,11 +212,19 @@ object LocalLeiden {
   }
 
   /** Primitive-array form — the hot path for the per-batch supergraph
-    * re-solve (no per-edge tuple boxing). */
+    * re-solve (no per-edge tuple boxing).
+    *
+    * @param canonicalSorted the input is already canonical (src <= dst,
+    *   unique keys) AND sorted by (src, dst): the level-0 dedup/sort map
+    *   is skipped and the dense edge arrays are built by direct id
+    *   lookups. Because the dense index is monotone in the external id,
+    *   the resulting packed keys arrive in exactly the order the
+    *   dedup/sort path would produce — bit-identical accumulation. */
   def solve(eSrc: Array[Long], eDst: Array[Long], eW: Array[Double],
       nodeSize: Map[Long, Long],
       initial: Map[Long, Long],
-      cfg: Leiden.Config): Map[Long, Long] = {
+      cfg: Leiden.Config,
+      canonicalSorted: Boolean = false): Map[Long, Long] = {
     if (eSrc.isEmpty)
       return (nodeSize.keySet ++ initial.keySet).map(v => v -> v).toMap
     // phase timing to stderr when GRAFT_DEBUG_TIMING=1 (diagnostics only)
@@ -250,17 +258,26 @@ object LocalLeiden {
     def idx(v: Long): Int = java.util.Arrays.binarySearch(verts, v)
 
     // level-0 merged canonical edges as packed keys (i <= j)
-    var (src, dst, w) = {
-      val map = new LongDoubleMap(eSrc.length)
-      var e = 0
-      while (e < eSrc.length) {
-        val i = idx(eSrc(e)); val j = idx(eDst(e))
-        val (a, b) = if (i <= j) (i, j) else (j, i)
-        map.add((a.toLong << 32) | b.toLong, eW(e))
-        e += 1
+    var (src, dst, w) =
+      if (canonicalSorted) {
+        val s = new Array[Int](eSrc.length)
+        val t = new Array[Int](eSrc.length)
+        var e = 0
+        while (e < eSrc.length) {
+          s(e) = idx(eSrc(e)); t(e) = idx(eDst(e)); e += 1
+        }
+        (s, t, eW)
+      } else {
+        val map = new LongDoubleMap(eSrc.length)
+        var e = 0
+        while (e < eSrc.length) {
+          val i = idx(eSrc(e)); val j = idx(eDst(e))
+          val (a, b) = if (i <= j) (i, j) else (j, i)
+          map.add((a.toLong << 32) | b.toLong, eW(e))
+          e += 1
+        }
+        unpack(map)
       }
-      unpack(map)
-    }
     // m2 is a GLOBAL constant of the hierarchy (contraction preserves
     // total weight; totalWeight counts a canonical edge once)
     var m2 = 0.0

@@ -115,6 +115,49 @@ class DurableIncrementalSpec extends SparkSpecBase {
     assert(o1.assignment.count() == 6)
   }
 
+  test("supergraph mirror: cached path == collect path, content exactly " +
+      "mirrors superCanon") {
+    val g = sbm(400)
+    val (init, batches) = Incremental.paperSplit(g, 0.8, 40, 3)
+    var cached = Incremental.initial(init)
+    var fresh = Incremental.initial(init)
+    assert(cached.superCache.isDefined)
+    for (b <- batches) {
+      cached = Incremental.update(cached, b)
+      // strip the mirror each batch: forces the re-collect path
+      fresh = Incremental.update(fresh.copy(superCache = None), b)
+    }
+    val a = canonicalPartition(
+      toMapLL(cached.assign.select(col("v"), col("community"))))
+    val b = canonicalPartition(
+      toMapLL(fresh.assign.select(col("v"), col("community"))))
+    assert(a == b, "cached supergraph mirror changed the result")
+    // the mirror's content must equal the superCanon table EXACTLY —
+    // same keys, bit-identical weights
+    val c = cached.superCache.get
+    val mirror = (0 until c.src.length)
+      .map(i => (c.src(i), c.dst(i)) -> c.w(i)).toMap
+    val table = cached.superCanon.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(mirror == table,
+      s"mirror ${mirror.size} edges vs table ${table.size}")
+  }
+
+  test("LocalLeiden.solve canonicalSorted fast path == dedup/sort path") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for {
+      i <- 0L until 200L; j <- i + 1 until 200L
+      if rnd.nextDouble() < 0.05
+    } yield (i, j, 1.0 + (i + j) % 3)).toArray
+    val eS = edges.map(_._1); val eD = edges.map(_._2)
+    val eW = edges.map(_._3)
+    val viaMap = graft.algo.LocalLeiden.solve(eS, eD, eW, Map.empty,
+      Map.empty, Leiden.Config())
+    val direct = graft.algo.LocalLeiden.solve(eS, eD, eW, Map.empty,
+      Map.empty, Leiden.Config(), canonicalSorted = true)
+    assert(viaMap == direct)
+  }
+
   test("engine: durableEdges round-trips run -> update -> resume") {
     val root = tmpDir("engine-durable")
     val store = tmpDir("engine-durable-store") + "/canon"
