@@ -55,20 +55,32 @@ object Bench {
     import java.nio.file._
     val root = Paths.get(localDir)
     val marker = root.resolve(".graft-scratch")
+    val owned = root.getFileName != null &&
+      root.getFileName.toString.contains("graft")
+    // wiped=true also covers the did-not-exist case: the directory created
+    // below is then graft-made, so marking it is safe.
+    var wiped = true
     if (Files.exists(root)) {
-      val owned = root.getFileName != null &&
-        root.getFileName.toString.contains("graft")
       if (!owned && !Files.exists(marker)) {
         System.err.println(s"[bench] REFUSING to wipe $localDir: basename " +
           "lacks 'graft' and no .graft-scratch marker — set " +
           "SPARK_GRAFT_LOCAL_DIR to a graft-owned directory")
+        wiped = false
       } else {
         Files.walk(root).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { val _ = Files.deleteIfExists(p) })
       }
     }
     Files.createDirectories(root)
-    val _ = Files.createFile(marker)
+    // Plant the marker ONLY when the directory is demonstrably ours
+    // (graft basename, wiped via a pre-existing marker, or created fresh
+    // just now). After a REFUSED wipe the un-owned directory must stay
+    // unmarked, else the next run's marker check would defeat the guard
+    // and delete unrelated files.
+    if (owned || wiped) {
+      val _ = Files.deleteIfExists(marker)
+      val _2 = Files.createFile(marker)
+    }
   }
 
   /** Locale-independent fixed-point format (JVM default locale may use
@@ -163,10 +175,12 @@ object Bench {
     Bench.median(Seq.fill(3)(leg()))
   }
 
-  /** Previous round's sidecar (total, per-query secs, hw fingerprint),
-    * if present. */
-  private def readPrev(path: String)
-      : Option[(Double, Map[String, Double], Option[String])] =
+  final case class PrevBench(total: Double, queries: Map[String, Double],
+      hw: Option[String], best: Map[String, Double])
+
+  /** Previous round's sidecar (total, per-query secs, hw fingerprint,
+    * best-of-history per-query secs), if present. */
+  private def readPrev(path: String): Option[PrevBench] =
     try {
       val f = new java.io.File(path)
       if (!f.exists()) None
@@ -174,15 +188,20 @@ object Bench {
         val om = new com.fasterxml.jackson.databind.ObjectMapper
         val root = om.readTree(f)
         val total = root.path("value").asDouble(-1.0)
-        val qs = scala.collection.mutable.Map.empty[String, Double]
-        val names = root.path("queries").fieldNames()
-        while (names.hasNext) {
-          val k = names.next()
-          qs(k) = root.path("queries").path(k).asDouble(-1.0)
+        def numMap(field: String): Map[String, Double] = {
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          val names = root.path(field).fieldNames()
+          while (names.hasNext) {
+            val k = names.next()
+            m(k) = root.path(field).path(k).asDouble(-1.0)
+          }
+          m.toMap
         }
         val hw = Option(root.path("hw")).filter(!_.isMissingNode)
           .filter(_.isObject).map(_.toString)
-        if (total <= 0) None else Some((total, qs.toMap, hw))
+        if (total <= 0) None
+        else Some(PrevBench(total, numMap("queries"), hw,
+          numMap("best_queries")))
       }
     } catch { case _: Throwable => None }
 
@@ -201,14 +220,39 @@ object Bench {
     // read the PREVIOUS sidecar before this run overwrites it
     val prev = readPrev(outPath)
     val hw = hwFingerprint()
+    // 1-minute load average at run START (before our own sessions spin
+    // up): on an idle box this is ~0. A loaded box can't distinguish
+    // contention from regression (round-4 gate showed +5..+26% uniform
+    // noise on untouched queries), so the run is flagged and the gate
+    // made ineligible (BOX_CONTENDED) rather than silently comparable.
+    // Kept OUT of the hw fingerprint: pinning compares fingerprints for
+    // equality, and load fluctuates.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadThresh =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESH", "0.25").toDouble
+    val contended = loadAvg >= 0 && loadAvg > loadThresh * cpus
+    if (contended)
+      System.err.println(s"[bench] BOX_CONTENDED: load1=$loadAvg at start " +
+        s"(threshold ${loadThresh * cpus}) — gate ineligible this run")
     // gate eligibility requires the SAME box as the frozen baseline
-    // (reference release_gate.rs HARDWARE_NOT_PINNED); a missing prev
-    // fingerprint (older sidecar format) counts as pinned.
-    val hwPinned = prev.flatMap(_._3).forall { prevHw =>
-      try {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper
-        om.readTree(prevHw) == om.readTree(hw)
-      } catch { case _: Throwable => true }
+    // (reference release_gate.rs HARDWARE_NOT_PINNED). Only the documented
+    // old-sidecar case (hw field entirely absent) counts as pinned; a
+    // present-but-unparsable or mismatched fingerprint is NOT pinned —
+    // a corrupted field must not silently keep the gate eligible across
+    // box changes.
+    val hwPinned = prev.flatMap(_.hw) match {
+      case None => true // pre-hw sidecar format
+      case Some(prevHw) =>
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper
+          om.readTree(prevHw) == om.readTree(hw)
+        } catch {
+          case _: Throwable =>
+            System.err.println(
+              "[bench] previous hw fingerprint unparsable — NOT pinned")
+            false
+        }
     }
 
     wipeLocalDir()
@@ -346,20 +390,35 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // regression guard: per-query delta vs the previous sidecar + the
-    // ReleaseGate verdict over total throughput (1/total wall-clock)
+    // best-of-history per query: carried through the sidecar so a
+    // contended run can be judged against the uncontended floor instead
+    // of a possibly-noisy last run
+    val prevBest: Map[String, Double] = prev.map { p =>
+      if (p.best.nonEmpty) p.best else p.queries
+    }.getOrElse(Map.empty)
+    val bestQs: Map[String, Double] = (results.collect {
+      case (k, v) if v > 0 => k -> prevBest.get(k).filter(_ > 0)
+        .fold(v)(math.min(v, _))
+    }).toMap
+
+    // regression guard: per-query delta vs the previous sidecar (or vs
+    // best-of-history when this run is contended) + the ReleaseGate
+    // verdict over total throughput (1/total wall-clock)
     val (gateJson, gateCompact) = prev match {
-      case Some((prevTotal, prevQs, _)) =>
+      case Some(p) =>
+        val prevTotal = p.total
+        val cmpQs = if (contended && prevBest.nonEmpty) prevBest else p.queries
         val deltas = results.collect {
-          case (k, v) if v > 0 && prevQs.get(k).exists(_ > 0) =>
-            val pct = 100.0 * (v - prevQs(k)) / prevQs(k)
+          case (k, v) if v > 0 && cmpQs.get(k).exists(_ > 0) =>
+            val pct = 100.0 * (v - cmpQs(k)) / cmpQs(k)
             "\"" + k + "\":" + String.format(java.util.Locale.ROOT,
               "%.1f", Double.box(pct))
         }.mkString("{", ",", "}")
         val gate = graft.bench.ReleaseGate.evaluate(
           candidateThroughput = if (total > 0) 1.0 / total else 0.0,
           baselineThroughput = 1.0 / prevTotal,
-          hardwarePinned = hwPinned, source = "parquet-snapshot")
+          hardwarePinned = hwPinned, source = "parquet-snapshot",
+          boxContended = contended)
         val compact =
           s"""{"eligible":${gate.eligibility.eligible},""" +
             s""""gain":${r3(gate.gain)}}"""
@@ -391,10 +450,15 @@ object Bench {
         s""""efficiency_best":$effBest,""" +
         s""""cpu_probe_sec_low":$cpuLow,"cpu_probe_sec_high":$cpuHigh,""" +
         s""""cpu_probe_efficiency":$cpuEff}"""
+    val bestJson = bestQs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"trials":$qTrials,"sf":"$sfDir",""" +
-        s"""$gateJson,"hw":$hw,"incremental":$incField,""" +
+        s"""$gateJson,"hw":$hw,"load_avg":${r3(loadAvg)},""" +
+        s""""contended":$contended,"best_queries":$bestJson,""" +
+        s""""incremental":$incField,""" +
         s""""scaling":$scaling}"""
     // sbt prefixes forked-run stdout with "[info] ", which broke the
     // driver's last-line JSON parse in round 1 ("parsed": null); in
@@ -412,6 +476,7 @@ object Bench {
         s""""queries":$qsCompact,"failed":$failedJson,"sf":"$sfDir",""" +
         s""""scaling":{"efficiency":${r3(eff)},"n_cores_low":$nLow,""" +
         s""""n_cores_high":$nHigh},"release_gate":$gateCompact,""" +
+        s""""load_avg":${r3(loadAvg)},"contended":$contended,""" +
         s""""incremental":$incCompact}"""
     System.out.println(compact)
     System.out.flush()

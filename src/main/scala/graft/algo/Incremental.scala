@@ -306,7 +306,11 @@ object Incremental {
       sink: MetricsSink = MetricsSink.discard,
       /** distinct-delta-id count above which the new-vertex probe switches
         * from a driver literal predicate to a distributed anti join */
-      bulkIdThreshold: Long = 100_000L): State = {
+      bulkIdThreshold: Long = 100_000L,
+      /** monotone batch id for durable-mode idempotency: a merge already
+        * recorded in the store (crash between merge and checkpoint
+        * commit) is skipped on replay instead of double-applied */
+      batchId: Option[Long] = None): State = {
 
     // phase timing to stderr when GRAFT_DEBUG_TIMING=1 (diagnostics only)
     val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
@@ -317,24 +321,46 @@ object Incremental {
       tMark = now
     }
 
-    val state = hydrate(state0, cfg.eps)
     val deltaC = EdgeOps.compress(delta, cfg.eps).ckpt
-    if (deltaC.isEmpty) return state
-    mark("hydrate+delta")
-
-    // --- graph-state maintenance: delta-bound, no full-table shuffles
+    if (deltaC.isEmpty) return hydrate(state0, cfg.eps)
     val dW = {
       val r = deltaC.agg(sum("weight")).collect()(0)
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
+
+    // durable replay detection: if the store already recorded this batch
+    // (crash AFTER the bucket merge but BEFORE the checkpoint commit),
+    // state0's canon/m2 — read back from the store — are one batch AHEAD
+    // of the committed assignment. Rebuild the pre-delta view (a
+    // delta-sized signed un-merge overlay, no store write) so the batch
+    // replays identically, and the store merge below no-ops.
+    val replayed = state0.durable.exists(d => batchId.exists(b =>
+      graft.graph.BucketedEdges.lastApplied(delta.sparkSession, d.path)
+        .exists(_ >= b)))
+    val state =
+      if (!replayed) hydrate(state0, cfg.eps)
+      else {
+        val negDelta = deltaC.select(col(EdgeOps.SRC), col(EdgeOps.DST),
+          negate(col(EdgeOps.W)).as(EdgeOps.W))
+        val preCanon = EdgeOps.mergeDelta(state0.canon, negDelta, cfg.eps)
+          .ckpt
+        // deg/superCanon were not set by readState; hydrate re-derives
+        // them from the reconstructed pre-delta canon
+        hydrate(state0.copy(canon = preCanon, m2 = state0.m2 - 2.0 * dW,
+          deg = null, superCanon = null, superCache = None), cfg.eps)
+      }
+    mark("hydrate+delta")
+
+    // --- graph-state maintenance: delta-bound, no full-table shuffles
     // in-memory default: broadcast merge onto the checkpointed table.
-    // durable mode: bucket-pruned merge into the BucketedEdges store —
-    // only the delta's buckets are read and rewritten — then the live
+    // durable mode: bucket-pruned staged merge into the BucketedEdges
+    // store — only the delta's buckets are read and rewritten, and a
+    // batch already applied under `batchId` is skipped — then the live
     // canon is a fresh reader over the store.
     val newCanon = state.durable match {
       case Some(d) =>
         graft.graph.BucketedEdges.mergeDelta(delta.sparkSession, d.path,
-          deltaC, d.nBuckets, cfg.eps)
+          deltaC, d.nBuckets, cfg.eps, batchId)
         graft.graph.BucketedEdges.read(delta.sparkSession, d.path).ckpt
       case None => EdgeOps.mergeDelta(state.canon, deltaC, cfg.eps).ckpt
     }

@@ -295,6 +295,11 @@ object Leiden {
     var sweep = 0
     var totalMoves = 0L
     var frontierN = active.count()
+    // exact weighted-degree sum over the current frontier, or -1 when
+    // unknown (lazy large-frontier path). Weighted degree >= adjacency
+    // row count (weights >= 1 by construction), so it upper-bounds the
+    // rows a frontier broadcast would ship — the hub-safe gate quantity.
+    var frontierDegSum: Double = -1.0
     if (frontierN == 0) // empty delta activation: nothing to do
       return MovementOut(a, changed, affected, 0, 0L)
     val nVerts = a.count()
@@ -346,9 +351,20 @@ object Leiden {
       val aByDst = a.select(col("v").as("dst"), col("community").as("nbrComm"))
       // warm updates: a delta-sized frontier's gather rows are broadcast
       // and probe the assignment in a map scan — zero shuffle of either
-      // big table per sweep (estimate guards executor memory)
-      val smallGather = frontierN < nVerts / 4 &&
+      // big table per sweep. The `frontierN * avgDeg` ESTIMATE alone is
+      // hub-unsafe (one 10^6-degree hub in a 10^3-vertex frontier breaks
+      // it by orders of magnitude), so the broadcast is committed only
+      // after the EXACT frontier degree sum fits the byte budget —
+      // maintained for free on the collected path, probed with one
+      // frontier-filtered map scan of `deg` on a large→small transition.
+      val estSmall = frontierN < nVerts / 4 &&
         frontierN * math.max(avgDeg, 1.0) < 2e6
+      if (estSmall && frontierDegSum < 0)
+        frontierDegSum = deg
+          .join(broadcast(active), Seq("v"), "left_semi")
+          .agg(coalesce(sum("deg"), lit(0)).cast("double")).head.getDouble(0)
+      val smallGather = estSmall && graft.util.Bcast.fits(
+        math.max(frontierDegSum, 0.0).toLong, bytesPerRow = 32)
       val byComm =
         if (cfg.saltFactor > 1) {
           // explicit skew split: hub destinations (degree > hotDegree) are
@@ -517,6 +533,15 @@ object Leiden {
         // everyone gated this sweep; retry them next sweep (already a
         // local relation on the small-frontier path — no job needed)
         active = if (smallGather) gated else gated.ckpt
+        if (smallGather) {
+          // exact next-frontier degree sum straight off the collected rows
+          val gi = wantMoves0.schema.fieldIndex("gated")
+          val dvi = wantMoves0.schema.fieldIndex("dv")
+          frontierDegSum = wantRows.iterator.filter(_.getBoolean(gi))
+            .map(_.getAs[Number](dvi).doubleValue).sum
+        }
+        // else: gated ⊆ current frontier, so a known sum stays an upper
+        // bound; an unknown (-1) one stays unknown and re-probes
         frontierN = nWant
         sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
           movesAccepted = 0, frontier = frontierN, qualityDelta = 0.0,
@@ -613,6 +638,7 @@ object Leiden {
           // a full frontier)
           active = a.select("v")
           frontierN = nVerts
+          frontierDegSum = m2 // full frontier: Σdeg = 2m exactly
         } else {
           // next frontier: gated movers plus neighbors of applied movers
           // now in a different community (hit_leiden.rs:270-273)
@@ -631,11 +657,20 @@ object Leiden {
             // small sweeps: COLLECT the (delta-sized) frontier — the next
             // sweep's 3-4 broadcast builds of `active` then read a local
             // relation instead of each re-running this subplan, and the
-            // loop gets an exact size for its gates and termination
-            val rows = nextActive.collect()
+            // loop gets an exact size AND exact degree sum for its gates
+            // and termination. Collecting (v, deg) instead of (v) costs a
+            // frontier-filtered map scan of `deg` inside the same action;
+            // every frontier member has a deg row by construction
+            // (movers/gated/neighbors all have edges).
+            val withDeg = deg.join(broadcast(nextActive), Seq("v"),
+              "left_semi")
+            val rows = withDeg.collect()
             active = spark.createDataFrame(
-              java.util.Arrays.asList(rows: _*), nextActive.schema)
+              java.util.Arrays.asList(rows: _*), withDeg.schema)
             frontierN = rows.length.toLong
+            val dvi = withDeg.schema.fieldIndex("deg")
+            frontierDegSum = rows.iterator
+              .map(_.getAs[Number](dvi).doubleValue).sum
           } else {
             // large frontiers: keep it lazy (the gather's semi-join
             // evaluates it in place); the loop runs on a conservative
@@ -643,8 +678,20 @@ object Leiden {
             // reads `active` twice — only there is a ckpt worth its job.
             active = if (cfg.saltFactor > 1) nextActive.ckpt else nextActive
             val nGated = counts.get(true).map(_._1).getOrElse(0L)
-            frontierN = math.max(1L,
-              math.min(nVerts - 1, (nMoves * avgDeg).toLong + nGated))
+            // exact counts, no artificial floor: a provably-empty next
+            // frontier terminates NOW instead of paying one more full
+            // gather sweep that discovers nWant == 0 (nMoves > 0 in this
+            // branch, so floor the estimate at the movers themselves)
+            frontierN = math.max(nMoves, (nMoves * avgDeg).toLong + nGated)
+            frontierDegSum = -1.0 // lazy frontier: members unknown
+            if (frontierN >= nVerts) {
+              // estimate covers the graph: promote to the explicit full
+              // frontier so the gather skips its semi-join (same shape as
+              // the dense re-activation branch — uncapped on purpose)
+              active = a.select("v")
+              frontierN = nVerts
+              frontierDegSum = m2
+            }
           }
         }
       }

@@ -130,7 +130,11 @@ object Ann {
   def rhpSignatureCompact(vec: Column, dim: Int, planes: Int,
       seed: Long = 42L): Column = {
     val signs = signTable(dim, planes, seed)
-    val v = vec.cast("array<double>")
+    // slice to the first `dim` elements so a longer vector reads the same
+    // prefix as the unrolled element_at form — zip_with would otherwise
+    // null-pad the (shorter) sign side and poison the whole sum,
+    // collapsing every over-length vector into one bucket
+    val v = slice(vec.cast("array<double>"), 1, dim)
     val bits = (0 until planes).map { j =>
       val s = aggregate(
         zip_with(v, typedLit(signs(j).toSeq), (x, y) => x * y),

@@ -20,11 +20,16 @@ object ReleaseGate {
       promote: Boolean)
 
   /** Reference reason codes (release_gate.rs): a gate run must be on
-    * pinned hardware and must not read from a live query source. */
-  def eligibility(hardwarePinned: Boolean, source: String): Eligibility =
+    * pinned hardware and must not read from a live query source.
+    * BOX_CONTENDED is ours: a run started on a loaded box can't
+    * distinguish contention from regression, so it is ineligible for
+    * promotion (the gain is still computed and reported). */
+  def eligibility(hardwarePinned: Boolean, source: String,
+      boxContended: Boolean = false): Eligibility =
     if (!hardwarePinned) Eligibility(eligible = false, "HARDWARE_NOT_PINNED")
     else if (source == "live-query")
       Eligibility(eligible = false, "LIVE_QUERY_SOURCE")
+    else if (boxContended) Eligibility(eligible = false, "BOX_CONTENDED")
     else Eligibility(eligible = true, "ok")
 
   /** @param candidateThroughput median throughput of the candidate build
@@ -32,9 +37,9 @@ object ReleaseGate {
     * @param minGain promotion threshold (reference target: 2.0) */
   def evaluate(candidateThroughput: Double, baselineThroughput: Double,
       hardwarePinned: Boolean, source: String,
-      minGain: Double = 2.0): Outcome = {
+      minGain: Double = 2.0, boxContended: Boolean = false): Outcome = {
     require(baselineThroughput > 0, "baseline throughput must be > 0")
-    val e = eligibility(hardwarePinned, source)
+    val e = eligibility(hardwarePinned, source, boxContended)
     val gain = candidateThroughput / baselineThroughput
     Outcome(e, gain, e.eligible && gain >= minGain)
   }

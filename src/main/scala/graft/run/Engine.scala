@@ -99,7 +99,11 @@ object Engine {
       throw new IllegalStateException("no checkpoint to resume from"))
     val st = readState(spark, root, cfg.runId, last, cfg.durableEdges)
     val sink = new MetricsSink
-    val next = Incremental.update(st, delta, cfg.leiden, sink)
+    // batchId = the batch this update will commit as: durable-mode bucket
+    // merges record it in the store, so replaying the delta after a crash
+    // between the merge and cp.write cannot double-apply its weights
+    val next = Incremental.update(st, delta, cfg.leiden, sink,
+      batchId = Some(last + 1L))
     if (cfg.validateInvariants) {
       // incremental-aware: community ids may be historical or
       // watermark-allocated — both live in [0, maxId]
@@ -175,7 +179,11 @@ object Engine {
       durable: Option[Incremental.DurableCanon] = None): Incremental.State = {
     val assign = spark.read.parquet(s"$root/$runId/iter=$batch/assignment")
     val canon = durable match {
-      case Some(d) => graft.graph.BucketedEdges.read(spark, d.path)
+      case Some(d) =>
+        // roll forward / roll back any merge a crash left half-swapped
+        // before anything reads the store
+        graft.graph.BucketedEdges.recover(spark, d.path)
+        graft.graph.BucketedEdges.read(spark, d.path)
       case None => spark.read.parquet(s"$root/$runId/iter=$batch/edges")
     }
     Incremental.State(canon, assign, 2.0 * EdgeOps.totalWeight(canon),

@@ -21,8 +21,12 @@ object Bcast {
     * build+ship time loses to a shuffle regardless of available memory,
     * and executors on a real cluster don't grow with the driver's heap. */
   def budgetBytes: Long =
-    math.min(math.max(Runtime.getRuntime.maxMemory() / 8, 64L << 20),
-      512L << 20)
+    // test hook: lets a spec shrink the budget to force (and verify) the
+    // non-broadcast fallback plans without a multi-GB fixture
+    sys.props.get("graft.bcast.budgetBytes").flatMap(_.toLongOption)
+      .getOrElse(
+        math.min(math.max(Runtime.getRuntime.maxMemory() / 8, 64L << 20),
+          512L << 20))
 
   /** Broadcast `df` iff `rows * bytesPerRow` fits the budget. */
   def ifFits(df: DataFrame, rows: Long, bytesPerRow: Long): DataFrame =
