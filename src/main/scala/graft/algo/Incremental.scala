@@ -86,6 +86,13 @@ object Incremental {
     * (reference durable-state intent: src/core/graph/backend.rs). */
   final case class DurableCanon(path: String, nBuckets: Int)
 
+  /** Durable-assignment option: the (v, community, subcomm) table lives
+    * in a [[graft.state.BucketedAssign]] bucket-partitioned store and
+    * each warm batch upserts only its changed rows — with the edge-side
+    * [[DurableCanon]] this completes the durable PartitionState contract
+    * (reference src/core/partition/state.rs:4-16). */
+  final case class DurableAssign(path: String, nBuckets: Int)
+
   /** Persistent engine state between batches.
     *
     * @param canon  live canonical edge table (level 0)
@@ -113,7 +120,11 @@ object Incremental {
         * while the supergraph is local-solve-sized (see [[SuperEdges]]);
         * purely an optimization — absent after resume, rebuilt on the
         * next batch's collect */
-      superCache: Option[SuperEdges] = None)
+      superCache: Option[SuperEdges] = None,
+      /** driver-side maintained upper hierarchy (levels >= 1, see
+        * [[LocalHier]]) — the live per-level incremental state. Absent
+        * after resume; rebuilt by the next batch's local re-solve. */
+      hierCache: Option[LocalHier.HState] = None)
 
   /** Fill derivable fields absent after a resume or an old-format call:
     * degrees, the live supergraph (contract by subcomm — the invariant
@@ -173,9 +184,9 @@ object Incremental {
     // this one — but recomputing it would re-run float sums in a
     // different aggregation order and break the cache's exactness)
     val sc0 = contractBySubcomm(canon, ref.assign, cfg.eps).ckpt
-    val (assign, superCache) = resolveSuper(sc0, ref.assign, cfg, sink)
+    val (assign, superCache, hier) = resolveSuper(sc0, ref.assign, cfg, sink)
     hydrate(State(canon, assign, m2, deg = deg, superCanon = sc0,
-      durable = durable, superCache = superCache), cfg.eps)
+      durable = durable, superCache = superCache, hierCache = hier), cfg.eps)
   }
 
   /** Solve the (small) supergraph with the carried communities as the
@@ -188,7 +199,8 @@ object Incremental {
     * community with its connected components on the supergraph. */
   private def resolveSuper(superCanon: DataFrame, assign: DataFrame,
       cfg: Leiden.Config, sink: MetricsSink,
-      cache: Option[SuperEdges] = None): (DataFrame, Option[SuperEdges]) = {
+      cache: Option[SuperEdges] = None)
+      : (DataFrame, Option[SuperEdges], Option[LocalHier.HState]) = {
     val spark = superCanon.sparkSession
     import spark.implicits._
     val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
@@ -209,6 +221,7 @@ object Incremental {
       case None => superCanon.count()
     }
     var cacheOut: Option[SuperEdges] = None
+    var hierOut: Option[LocalHier.HState] = None
     val superRes =
       if (cfg.localSolveEdges > 0 && nSuper <= cfg.localSolveEdges) {
         // supergraph fits: connectivity repair (union-find) AND the full
@@ -245,8 +258,16 @@ object Incremental {
           else Map.empty[Long, Long]
         val repaired = LocalLeiden.repairConnectivity(ce.src, ce.dst, cmM)
         mark("repair")
-        val solved = LocalLeiden.solve(ce.src, ce.dst, ce.w, szM, repaired,
-          cfg, canonicalSorted = true)
+        val solved =
+          if (cfg.incrementalHierarchy) {
+            // build the MAINTAINED hierarchy (LocalHier) — subsequent
+            // batches update it per level instead of re-solving
+            val (h, composed) = LocalHier.init(ce.src, ce.dst, ce.w, repaired,
+              szM, cfg)
+            hierOut = Some(h)
+            composed
+          } else LocalLeiden.solve(ce.src, ce.dst, ce.w, szM, repaired,
+            cfg, canonicalSorted = true)
         mark("local-solve")
         val out = solved.toSeq.toDF("v", "community")
         mark("toDF")
@@ -290,7 +311,7 @@ object Incremental {
         col("subcomm"))
       .ckpt
     mark("compose")
-    (out, cacheOut)
+    (out, cacheOut, hierOut)
   }
 
   /** Apply one signed delta batch, warm-starting from `state`.
@@ -474,23 +495,67 @@ object Incremental {
       .select("v").ckpt
     val (deltaH, _) = IncAggregation(adj, deltaC, sPre0, sCur, refR, cfg.eps)
     val newSuper = EdgeOps.mergeDelta(state.superCanon, deltaH, cfg.eps).ckpt
-    // maintain the driver-side mirror with the SAME signed delta (deltaH
-    // is checkpointed and delta-sized, so this collect is cheap) — the
-    // next resolveSuper then skips its multi-million-row re-collect
-    val mergedCache = state.superCache.map { c =>
-      val dRows = deltaH.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      mergeSuperArrays(c, dRows, cfg.eps)
-    }
+    // collect the (checkpointed, delta-sized) supergraph delta ONCE — it
+    // feeds both the sorted-array mirror and the maintained hierarchy
+    val dRows: Array[(Long, Long, Double)] =
+      if (state.superCache.isDefined || state.hierCache.isDefined)
+        deltaH.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      else null
+    // maintain the driver-side mirror with the SAME signed delta — a
+    // fallback re-solve then skips its multi-million-row re-collect
+    val mergedCache = state.superCache.map(mergeSuperArrays(_, dRows,
+      cfg.eps))
     mark("aggregation")
 
-    // --- upper levels: re-solve over the maintained supergraph
-    val (assign2, cacheOut) = resolveSuper(newSuper, assign1, cfg, sink,
-      mergedCache)
+    // --- upper levels. Live path (reference hit_leiden.rs:85-151): the
+    // maintained hierarchy applies the batch per level — delta movement,
+    // scoped refinement, aggregation to the next level, top-level
+    // delta-scoped connectivity repair, then the composed def_update —
+    // all frontier-bound driver work, no supergraph re-solve. Fallback
+    // (no hierarchy yet / supergraph outgrew the local bound / flag off):
+    // the re-solve, which REBUILDS the hierarchy when it lands local.
+    val useHier = cfg.incrementalHierarchy && dRows != null &&
+      state.hierCache.exists(h => cfg.localSolveEdges > 0 &&
+        h.level1Edges + dRows.length <= cfg.localSolveEdges)
+    val (assign2, cacheOut, hierOut, consumedFresh) =
+      if (useHier) {
+        // copy before mutating: State is value-semantic (a caller that
+        // kept the pre-batch State must be able to re-apply the batch —
+        // the crash-replay and branching-test contract)
+        val h = state.hierCache.get.deepCopy
+        val l1 = h.levels.head
+        // community seeds for level-1 nodes this batch introduces (fresh
+        // split seats / new singletons): their community in the
+        // post-movement base assignment — one delta-sized lookup
+        val newIds = dRows.iterator.flatMap(e => Iterator(e._1, e._2))
+          .filter(v => !l1.comm.contains(v)).toSet
+        val seed: Map[Long, Long] =
+          if (newIds.isEmpty) Map.empty
+          else assign1
+            .where(col("subcomm").isInCollection(newIds))
+            .groupBy("subcomm").agg(min("community"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val consumed = LocalHier.update(h, dRows, seed, cfg, maxId)
+        val composed = LocalHier.composedLevel1(h)
+        val superRes = composed.toSeq.toDF("subcomm", "newComm")
+        val out = assign1
+          .select(col("v"), col("subcomm"), col("community").as("oldComm"))
+          .join(broadcast(superRes), Seq("subcomm"), "left")
+          .select(col("v"),
+            coalesce(col("newComm"), col("oldComm")).as("community"),
+            col("subcomm"))
+          .ckpt
+        (out, mergedCache, Some(h), consumed)
+      } else {
+        val (o, c, hNew) = resolveSuper(newSuper, assign1, cfg, sink,
+          mergedCache)
+        (o, c, hNew, 0L)
+      }
     mark("resolveSuper")
     State(newCanon, assign2, m2, deg = deg, superCanon = newSuper,
-      maxId = maxId, epoch = state.epoch + 1, durable = state.durable,
-      superCache = cacheOut)
+      maxId = maxId + consumedFresh, epoch = state.epoch + 1,
+      durable = state.durable, superCache = cacheOut, hierCache = hierOut)
   }
 
   /** Deterministic cumulative delta batches replicating the reference's

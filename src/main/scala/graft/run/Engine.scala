@@ -28,6 +28,12 @@ object Engine {
     *   in a [[graft.graph.BucketedEdges]] store at this (path, nBuckets)
     *   and each warm batch merges only its touched buckets — the durable
     *   petabyte-scale form of the in-memory checkpointed canon
+    * @param durableAssign when set, the assignment table lives in a
+    *   [[graft.state.BucketedAssign]] store and each warm batch upserts
+    *   only its CHANGED rows (bucket-pruned, undo-logged) instead of the
+    *   per-batch full O(V) parquet dump — with durableEdges this makes
+    *   the whole PartitionState durable (state.rs:4-16) and resume a
+    *   read of durable bytes only
     * @param validateInvariants when true, every run/update verifies the
     *   hard partition invariants ([[Validate.invariants]]) before the
     *   batch is checkpointed; warm batches use the incremental-aware
@@ -38,6 +44,7 @@ object Engine {
       runId: String = "run-0",
       mode: String = "throughput",
       durableEdges: Option[Incremental.DurableCanon] = None,
+      durableAssign: Option[Incremental.DurableAssign] = None,
       validateInvariants: Boolean = false) {
     def validate(): Unit = {
       // mirrors RunConfig::validate (config.rs:35-43)
@@ -97,7 +104,8 @@ object Engine {
     val cp = new Checkpointer(root, cfg.runId)
     val last = cp.latest().getOrElse(
       throw new IllegalStateException("no checkpoint to resume from"))
-    val st = readState(spark, root, cfg.runId, last, cfg.durableEdges)
+    val st = readState(spark, root, cfg.runId, last, cfg.durableEdges,
+      cfg.durableAssign)
     val sink = new MetricsSink
     // batchId = the batch this update will commit as: durable-mode bucket
     // merges record it in the store, so replaying the delta after a crash
@@ -122,7 +130,7 @@ object Engine {
     val out = Outcome(next.assign.select(col("v"), col("community")), q,
       nComm, sink.totalIterations("leiden.movement"), sink.all,
       batch = last + 1)
-    writeState(cfg, next, out)
+    writeState(cfg, next, out, prevAssign = Some(st.assign))
     out
   }
 
@@ -131,7 +139,29 @@ object Engine {
     root <- cfg.checkpointRoot
     cp = new Checkpointer(root, cfg.runId)
     last <- cp.latest()
-  } yield cp.readAssignment(spark, last).select("v", "community")
+  } yield readAssign(spark, cfg, cp, last).select("v", "community")
+
+  /** The assignment as of committed batch `last`: the durable store
+    * (rolled back to `last` if a crash left it one batch ahead) or the
+    * per-iteration checkpoint parquet. */
+  private def readAssign(spark: SparkSession, cfg: Config,
+      cp: Checkpointer, last: Int): DataFrame =
+    cfg.durableAssign match {
+      case Some(a) =>
+        graft.state.BucketedAssign.recover(spark, a.path)
+        graft.state.BucketedAssign.lastApplied(spark, a.path) match {
+          case Some(b) if b == last + 1L =>
+            // crash between the assign upsert and the checkpoint commit:
+            // fold the undo log back to the committed batch
+            graft.state.BucketedAssign.preView(spark, a.path, b)
+          case Some(b) if b > last + 1L =>
+            throw new IllegalStateException(
+              s"assignment store at batch $b but checkpoint at $last — " +
+                "more than one uncommitted batch; store is corrupt")
+          case _ => graft.state.BucketedAssign.read(spark, a.path)
+        }
+      case None => cp.readAssignment(spark, last)
+    }
 
   // --- internal: durable state = assignment(+subcomm) and edge table ----
 
@@ -149,13 +179,14 @@ object Engine {
     }
 
   private def writeState(cfg: Config, st: Incremental.State,
-      out: Outcome): Unit =
+      out: Outcome, prevAssign: Option[DataFrame] = None): Unit =
     cfg.checkpointRoot.foreach { root =>
-      // edges FIRST: Checkpointer.write renames MANIFEST.json and bumps
-      // LATEST — the documented commit point — so everything the batch
-      // needs on resume must already be durable when it runs. A crash
-      // before cp.write leaves an uncommitted (invisible) batch; a crash
-      // after leaves a complete one.
+      // durable stores FIRST: Checkpointer.write renames MANIFEST.json
+      // and bumps LATEST — the documented commit point — so everything
+      // the batch needs on resume must already be durable when it runs.
+      // A crash before cp.write leaves an uncommitted batch (the stores'
+      // applied markers + the assign undo log make its replay exact); a
+      // crash after leaves a complete one.
       val edgeRows = st.canon.count()
       st.durable match {
         case Some(d) =>
@@ -169,15 +200,40 @@ object Engine {
           st.canon.write.mode("overwrite")
             .parquet(s"$root/${cfg.runId}/iter=${out.batch}/edges")
       }
+      cfg.durableAssign.foreach { a =>
+        val spark = st.assign.sparkSession
+        prevAssign match {
+          case None =>
+            graft.state.BucketedAssign.write(st.assign, a.path, a.nBuckets)
+          case Some(prev) =>
+            // changed rows only: value diff + brand-new vertices. The
+            // diff is an O(V) map-side compare (at petabyte scale both
+            // sides are bucketed by v, so it is a co-located zipper, not
+            // a shuffle); the durable WRITE is delta-sized.
+            val changed = st.assign
+              .join(prev.select(col("v"), col("community").as("pc"),
+                col("subcomm").as("ps")), Seq("v"), "left")
+              .where(col("pc").isNull || col("pc") =!= col("community") ||
+                col("ps") =!= col("subcomm"))
+              .select(col("v"), col("community"), col("subcomm"))
+            graft.state.BucketedAssign.upsert(spark, a.path, changed,
+              a.nBuckets, out.batch.toLong)
+        }
+      }
       val cp = new Checkpointer(root, cfg.runId)
       cp.write(out.batch, st.assign, out.metrics, frontier = 0,
-        quality = out.quality, edgeRows = edgeRows)
+        quality = out.quality, edgeRows = edgeRows,
+        assignmentData = cfg.durableAssign.isEmpty)
     }
 
   private def readState(spark: SparkSession, root: String, runId: String,
       batch: Int,
-      durable: Option[Incremental.DurableCanon] = None): Incremental.State = {
-    val assign = spark.read.parquet(s"$root/$runId/iter=$batch/assignment")
+      durable: Option[Incremental.DurableCanon] = None,
+      durableAssign: Option[Incremental.DurableAssign] = None)
+      : Incremental.State = {
+    val cp = new Checkpointer(root, runId)
+    val assign = readAssign(spark,
+      Config(durableAssign = durableAssign), cp, batch)
     val canon = durable match {
       case Some(d) =>
         // roll forward / roll back any merge a crash left half-swapped

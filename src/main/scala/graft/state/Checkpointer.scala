@@ -23,13 +23,18 @@ final class Checkpointer(root: String, runId: String) {
 
   private def iterDir(iter: Int) = s"$root/$runId/iter=$iter"
 
+  /** `assignmentData = false` skips the per-iteration assignment parquet
+    * (durable-assign mode: the bucketed store holds the table; the
+    * manifest/LATEST rename here is still the batch's commit point). */
   def write(iter: Int, assignment: DataFrame,
       metrics: Seq[graft.run.IterMetric], frontier: Long,
-      quality: Double, edgeRows: Long = -1L): Unit = {
+      quality: Double, edgeRows: Long = -1L,
+      assignmentData: Boolean = true): Unit = {
     val spark = assignment.sparkSession
     import spark.implicits._
     val dir = iterDir(iter)
-    assignment.write.mode("overwrite").parquet(s"$dir/assignment")
+    if (assignmentData)
+      assignment.write.mode("overwrite").parquet(s"$dir/assignment")
     // per-partition lineage: which checkpoint produced each row
     metrics.toDF().withColumn("run_id", lit(runId))
       .withColumn("iter", lit(iter))
