@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.graph.EdgeOps
 import graft.run.MetricsSink
 
+import scala.collection.mutable
+
 /** The "HIT" in HIT-Leiden: incremental maintenance of a Leiden partition
   * under a batch of edge insertions/deletions, touching only affected
   * vertices.
@@ -51,6 +53,19 @@ object Incremental {
     * commutative, so not even the float rounding differs. */
   final case class SuperEdges(src: Array[Long], dst: Array[Long],
       w: Array[Double])
+
+  /** Maintained upper-level composition for the DEFAULT live path: the
+    * level-1 supergraph itself is the sorted-array mirror
+    * ([[SuperEdges]], merged per batch by [[mergeSuperArrays]]); this
+    * carries the composed (subcomm -> community) map the last warm
+    * solve produced, so the next batch seeds its warm solve directly —
+    * no O(V) carried-community aggregation + collect per batch
+    * (hit_leiden.rs:565-599 def_update: the upper state is maintained,
+    * not re-derived). A FRESH instance is built every batch from the
+    * solve output and never mutated, so a caller that kept the
+    * pre-batch State can re-apply its batch — value semantics without
+    * a deep copy. */
+  final case class UpperComm(composed: mutable.LongMap[Long])
 
   /** Linear merge of a canonical signed delta into the sorted cache. */
   private[algo] def mergeSuperArrays(c: SuperEdges,
@@ -122,9 +137,14 @@ object Incremental {
         * next batch's collect */
       superCache: Option[SuperEdges] = None,
       /** driver-side maintained upper hierarchy (levels >= 1, see
-        * [[LocalHier]]) — the live per-level incremental state. Absent
+        * [[LocalHier]]) — the reference-faithful fixed-level pipeline's
+        * state, used only when `cfg.hierRebuildUpper` is false. Absent
         * after resume; rebuilt by the next batch's local re-solve. */
-      hierCache: Option[LocalHier.HState] = None)
+      hierCache: Option[LocalHier.HState] = None,
+      /** maintained composed (subcomm -> community) map for the DEFAULT
+        * live path (see [[UpperComm]]); absent after resume — rebuilt by
+        * the next batch's re-solve fallback. */
+      upper: Option[UpperComm] = None)
 
   /** Fill derivable fields absent after a resume or an old-format call:
     * degrees, the live supergraph (contract by subcomm — the invariant
@@ -184,9 +204,11 @@ object Incremental {
     // this one — but recomputing it would re-run float sums in a
     // different aggregation order and break the cache's exactness)
     val sc0 = contractBySubcomm(canon, ref.assign, cfg.eps).ckpt
-    val (assign, superCache, hier) = resolveSuper(sc0, ref.assign, cfg, sink)
+    val (assign, superCache, hier, upper) =
+      resolveSuper(sc0, ref.assign, cfg, sink)
     hydrate(State(canon, assign, m2, deg = deg, superCanon = sc0,
-      durable = durable, superCache = superCache, hierCache = hier), cfg.eps)
+      durable = durable, superCache = superCache, hierCache = hier,
+      upper = upper), cfg.eps)
   }
 
   /** Solve the (small) supergraph with the carried communities as the
@@ -200,7 +222,8 @@ object Incremental {
   private def resolveSuper(superCanon: DataFrame, assign: DataFrame,
       cfg: Leiden.Config, sink: MetricsSink,
       cache: Option[SuperEdges] = None)
-      : (DataFrame, Option[SuperEdges], Option[LocalHier.HState]) = {
+      : (DataFrame, Option[SuperEdges], Option[LocalHier.HState],
+        Option[UpperComm]) = {
     val spark = superCanon.sparkSession
     import spark.implicits._
     val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
@@ -222,6 +245,7 @@ object Incremental {
     }
     var cacheOut: Option[SuperEdges] = None
     var hierOut: Option[LocalHier.HState] = None
+    var upperOut: Option[UpperComm] = None
     val superRes =
       if (cfg.localSolveEdges > 0 && nSuper <= cfg.localSolveEdges) {
         // supergraph fits: connectivity repair (union-find) AND the full
@@ -259,15 +283,23 @@ object Incremental {
         val repaired = LocalLeiden.repairConnectivity(ce.src, ce.dst, cmM)
         mark("repair")
         val solved =
-          if (cfg.incrementalHierarchy) {
-            // build the MAINTAINED hierarchy (LocalHier) — subsequent
-            // batches update it per level instead of re-solving
+          if (cfg.incrementalHierarchy && !cfg.hierRebuildUpper) {
+            // reference-faithful fixed-level mode: build the maintained
+            // per-level hierarchy (LocalHier) — subsequent batches run
+            // its per-level delta pipeline instead of re-solving
             val (h, composed) = LocalHier.init(ce.src, ce.dst, ce.w, repaired,
               szM, cfg)
             hierOut = Some(h)
             composed
           } else LocalLeiden.solve(ce.src, ce.dst, ce.w, szM, repaired,
             cfg, canonicalSorted = true)
+        if (cfg.incrementalHierarchy && cfg.hierRebuildUpper) {
+          // DEFAULT live mode: stash the composed map — the next batch
+          // seeds its warm mirror solve from it (no carried collect)
+          val m = mutable.LongMap.empty[Long]
+          solved.foreach { case (k, v) => m(k) = v }
+          upperOut = Some(UpperComm(m))
+        }
         mark("local-solve")
         val out = solved.toSeq.toDF("v", "community")
         mark("toDF")
@@ -311,7 +343,112 @@ object Incremental {
         col("subcomm"))
       .ckpt
     mark("compose")
-    (out, cacheOut, hierOut)
+    (out, cacheOut, hierOut, upperOut)
+  }
+
+  /** Warm upper-level solve over the maintained mirror — the DEFAULT
+    * live path (replaces the per-batch re-solve): seed communities come
+    * from the maintained composition ([[UpperComm]], no O(V) carried
+    * aggregation + collect), connectivity repair runs dense
+    * ([[LocalLeiden.repairDense]], no per-batch sort/boxing) and the
+    * hierarchy solve runs pre-densified ([[LocalLeiden.solveDense]], no
+    * per-batch dedup/sort pack). All driver CPU on primitive arrays;
+    * the only Spark work a caller pays is the composition join.
+    *
+    * @return (full (subcomm -> community) composition rows, next
+    *         maintained composition) */
+  private def warmSolveSuper(cache: SuperEdges,
+      composedOld: mutable.LongMap[Long], freshSeeds: Map[Long, Long],
+      szM: Map[Long, Long], cfg: Leiden.Config)
+      : (Array[(Long, Long)], UpperComm) = {
+    val nE = cache.src.length
+    if (nE == 0) {
+      // every supernode is isolated: composition keeps old labels
+      val m = mutable.LongMap.empty[Long]
+      composedOld.foreach { case (k, v) => m(k) = v }
+      freshSeeds.foreach { case (k, v) => if (!m.contains(k)) m(k) = v }
+      return (Array.empty, UpperComm(m))
+    }
+    // verts: the mirror is sorted by (src, dst), so distinct srcs are a
+    // linear scan; dsts need one sort; then a two-array merge
+    val sSrc = {
+      val a = new Array[Long](nE)
+      var m = 0; var e = 0
+      while (e < nE) {
+        if (m == 0 || cache.src(e) != a(m - 1)) { a(m) = cache.src(e); m += 1 }
+        e += 1
+      }
+      java.util.Arrays.copyOf(a, m)
+    }
+    val sDst = {
+      val a = cache.dst.clone()
+      java.util.Arrays.sort(a)
+      var m = 0; var j = 0
+      while (j < a.length) {
+        if (m == 0 || a(j) != a(m - 1)) { a(m) = a(j); m += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(a, m)
+    }
+    val verts = {
+      val a = new Array[Long](sSrc.length + sDst.length)
+      var i = 0; var j = 0; var m = 0
+      while (i < sSrc.length && j < sDst.length) {
+        val x = if (sSrc(i) <= sDst(j)) { val v = sSrc(i); i += 1; v }
+          else { val v = sDst(j); j += 1; v }
+        if (m == 0 || x != a(m - 1)) { a(m) = x; m += 1 }
+      }
+      while (i < sSrc.length) {
+        if (m == 0 || sSrc(i) != a(m - 1)) { a(m) = sSrc(i); m += 1 }
+        i += 1
+      }
+      while (j < sDst.length) {
+        if (m == 0 || sDst(j) != a(m - 1)) { a(m) = sDst(j); m += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(a, m)
+    }
+    val n = verts.length
+    // dense endpoints: src rides the sort order (two-pointer), dst
+    // binary-searches
+    val dSrc = new Array[Int](nE)
+    val dDst = new Array[Int](nE)
+    var vi = 0
+    var e = 0
+    while (e < nE) {
+      while (verts(vi) != cache.src(e)) vi += 1
+      dSrc(e) = vi
+      dDst(e) = java.util.Arrays.binarySearch(verts, cache.dst(e))
+      e += 1
+    }
+    // seed labels: maintained composition, fresh-seat seeds for level-1
+    // nodes this batch introduced, identity fallback
+    val labels = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = verts(i)
+      labels(i) = composedOld.getOrElse(v,
+        freshSeeds.getOrElse(v, v))
+      i += 1
+    }
+    LocalLeiden.repairDense(verts, dSrc, dDst, labels)
+    val sizes =
+      if (cfg.useCpm)
+        Array.tabulate(n)(i => szM.getOrElse(verts(i), 1L).toDouble)
+      else Array.fill(n)(1.0)
+    val out = LocalLeiden.solveDense(verts, dSrc, dDst, cache.w, sizes,
+      labels, cfg)
+    // next maintained composition: old entries (isolated supernodes keep
+    // their label for future re-connection) overwritten by the solve
+    val composedNew = mutable.LongMap.empty[Long]
+    composedOld.foreach { case (k, v) => composedNew(k) = v }
+    val rows = new Array[(Long, Long)](out.size)
+    var r = 0
+    out.foreach { case (k, v) =>
+      composedNew(k) = v
+      rows(r) = (k, v); r += 1
+    }
+    (rows, UpperComm(composedNew))
   }
 
   /** Apply one signed delta batch, warm-starting from `state`.
@@ -498,7 +635,8 @@ object Incremental {
     // collect the (checkpointed, delta-sized) supergraph delta ONCE — it
     // feeds both the sorted-array mirror and the maintained hierarchy
     val dRows: Array[(Long, Long, Double)] =
-      if (state.superCache.isDefined || state.hierCache.isDefined)
+      if (state.superCache.isDefined || state.hierCache.isDefined ||
+          state.upper.isDefined)
         deltaH.collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getDouble(2)))
       else null
@@ -508,18 +646,56 @@ object Incremental {
       cfg.eps))
     mark("aggregation")
 
-    // --- upper levels. Live path (reference hit_leiden.rs:85-151): the
-    // maintained hierarchy applies the batch per level — delta movement,
-    // scoped refinement, aggregation to the next level, top-level
-    // delta-scoped connectivity repair, then the composed def_update —
-    // all frontier-bound driver work, no supergraph re-solve. Fallback
-    // (no hierarchy yet / supergraph outgrew the local bound / flag off):
-    // the re-solve, which REBUILDS the hierarchy when it lands local.
-    val useHier = cfg.incrementalHierarchy && dRows != null &&
+    // --- upper levels. DEFAULT live path (reference hit_leiden.rs:85-151
+    // + 565-599 def_update): the maintained MIRROR is the level-1
+    // supergraph, the maintained composition seeds a warm in-memory
+    // hierarchy solve (dense repair + pre-densified solve, all primitive
+    // arrays) — no carried aggregation, no collect, no per-batch
+    // sort/pack. Fixed-level mode (hierRebuildUpper=false): LocalHier's
+    // reference-faithful per-level delta pipeline. Fallback (no
+    // maintained state after resume / supergraph outgrew the local
+    // bound / flag off): the re-solve, which REBUILDS the maintained
+    // state when it lands local.
+    val useMirror = cfg.incrementalHierarchy && cfg.hierRebuildUpper &&
+      dRows != null && mergedCache.isDefined && state.upper.isDefined &&
+      cfg.localSolveEdges > 0 &&
+      mergedCache.get.src.length <= cfg.localSolveEdges
+    val useHier = cfg.incrementalHierarchy && !cfg.hierRebuildUpper &&
+      dRows != null &&
       state.hierCache.exists(h => cfg.localSolveEdges > 0 &&
         h.level1Edges + dRows.length <= cfg.localSolveEdges)
-    val (assign2, cacheOut, hierOut, consumedFresh) =
-      if (useHier) {
+    val (assign2, cacheOut, hierOut, upperOut, consumedFresh) =
+      if (useMirror) {
+        val mc = mergedCache.get
+        val composedOld = state.upper.get.composed
+        // community seeds for level-1 nodes this batch introduces (fresh
+        // split seats / new singletons): their community in the
+        // post-movement base assignment — one delta-sized lookup
+        val newIds = dRows.iterator.flatMap(e => Iterator(e._1, e._2))
+          .filter(v => !composedOld.contains(v)).toSet
+        val seed: Map[Long, Long] =
+          if (newIds.isEmpty) Map.empty
+          else assign1
+            .where(col("subcomm").isInCollection(newIds))
+            .groupBy("subcomm").agg(min("community"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val szM =
+          if (cfg.useCpm) assign1.groupBy(col("subcomm").as("v"))
+            .agg(count(lit(1)).as("size")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          else Map.empty[Long, Long]
+        val (rows, upperNew) = warmSolveSuper(mc, composedOld, seed, szM,
+          cfg)
+        val superRes = rows.toSeq.toDF("subcomm", "newComm")
+        val out = assign1
+          .select(col("v"), col("subcomm"), col("community").as("oldComm"))
+          .join(broadcast(superRes), Seq("subcomm"), "left")
+          .select(col("v"),
+            coalesce(col("newComm"), col("oldComm")).as("community"),
+            col("subcomm"))
+          .ckpt
+        (out, mergedCache, None, Some(upperNew), 0L)
+      } else if (useHier) {
         // copy before mutating: State is value-semantic (a caller that
         // kept the pre-batch State must be able to re-apply the batch —
         // the crash-replay and branching-test contract)
@@ -546,16 +722,17 @@ object Incremental {
             coalesce(col("newComm"), col("oldComm")).as("community"),
             col("subcomm"))
           .ckpt
-        (out, mergedCache, Some(h), consumed)
+        (out, mergedCache, Some(h), None, consumed)
       } else {
-        val (o, c, hNew) = resolveSuper(newSuper, assign1, cfg, sink,
+        val (o, c, hNew, uNew) = resolveSuper(newSuper, assign1, cfg, sink,
           mergedCache)
-        (o, c, hNew, 0L)
+        (o, c, hNew, uNew, 0L)
       }
     mark("resolveSuper")
     State(newCanon, assign2, m2, deg = deg, superCanon = newSuper,
       maxId = maxId + consumedFresh, epoch = state.epoch + 1,
-      durable = state.durable, superCache = cacheOut, hierCache = hierOut)
+      durable = state.durable, superCache = cacheOut, hierCache = hierOut,
+      upper = upperOut)
   }
 
   /** Deterministic cumulative delta batches replicating the reference's

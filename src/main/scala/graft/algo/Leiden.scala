@@ -106,12 +106,23 @@ object Leiden {
         * per sweep and contributes nothing against the reference's own
         * 0.001 quality-equivalence policy (equivalence.rs:21-27). */
       minSweepGain: Double = 1e-4,
-      /** warm batches maintain the upper hierarchy (levels >= 1) as
-        * driver-resident per-level state ([[LocalHier]]) and apply each
-        * batch as per-level delta movement/refinement/aggregation — the
-        * reference's live pipeline (hit_leiden.rs:85-151) — instead of
-        * re-solving the whole supergraph. False restores the re-solve
-        * path (used by equivalence tests as the oracle). */
+      /** once a movement frontier's exact degree sum fits the broadcast
+        * byte budget, run the remaining sweeps DRIVER-LOCAL: one
+        * delta-sized gather job per sweep (adjacency of newly activated
+        * vertices only) against locally maintained community/stat maps,
+        * exact BSP-parity semantics (same snapshots, same gain argmax,
+        * same revert gating) — replacing the 6-9 broadcast sub-jobs and
+        * V-sized map scans a distributed warm sweep pays. False forces
+        * the distributed sweep path (the parity-test oracle). */
+      localMoveSweeps: Boolean = true,
+      /** warm batches maintain the upper levels (>= 1) driver-side: the
+        * level-1 supergraph as the sorted-array mirror and the composed
+        * (subcomm -> community) map from the last solve, so each batch
+        * runs a warm-seeded in-memory hierarchy pass with NO carried
+        * aggregation, no supergraph collect and no per-batch sort/pack
+        * (the live def_update, hit_leiden.rs:565-599). False restores
+        * the from-scratch re-solve path (used by equivalence tests as
+        * the oracle). */
       incrementalHierarchy: Boolean = true,
       /** maintained-hierarchy movement runs one full deterministic pass
         * (all nodes seeded, not just the delta frontier) at levels whose
@@ -122,16 +133,16 @@ object Leiden {
         * band. Levels above the bound (possible only if localSolveEdges
         * is raised) stay frontier-only. 0 = frontier-only everywhere. */
       hierPolishEdges: Long = 4000000,
-      /** after the delta-scoped movement/repair at level 1, re-form the
-        * level-1 seats from scratch (identity + the full ascending merge
-        * pass) and rebuild every level above them — O(E_1) in-memory
-        * work on the maintained adjacency, no Spark job and no collect.
-        * The reference keeps a fixed level count and lets seats and the
-        * upper grouping go stale (hit_leiden.rs:95-137); fresh seats are
+      /** true (default): each warm batch re-forms seats and upper levels
+        * from the maintained mirror with the warm-seeded pre-densified
+        * CSR solve ([[LocalLeiden.solveDense]]) — fresh seats are
         * measurably where a from-scratch solve earns its quality
-        * (~0.0016 modularity on a 600-vertex SBM), and recovering them
-        * costs driver-CPU milliseconds under the polish bound. False =
-        * the reference-faithful fixed per-level delta pipeline. */
+        * (~0.0016 modularity on a 600-vertex SBM), and on primitive
+        * arrays the full pass costs less than the fixed-level pipeline's
+        * hash-map bookkeeping at supergraph scale. False = the
+        * reference-faithful fixed per-level delta pipeline
+        * ([[LocalHier]], hit_leiden.rs:95-137: maintained per-level
+        * graphs, seats and upper grouping allowed to go stale). */
       hierRebuildUpper: Boolean = true)
 
   private[algo] def parts(df: DataFrame, cfg: Config): Int =
@@ -392,164 +403,584 @@ object Leiden {
           .agg(coalesce(sum("deg"), lit(0)).cast("double")).head.getDouble(0)
       val smallGather = estSmall && graft.util.Bcast.fits(
         math.max(frontierDegSum, 0.0).toLong, bytesPerRow = 32)
-      val byComm =
-        if (cfg.saltFactor > 1) {
-          // explicit skew split: hub destinations (degree > hotDegree) are
-          // joined through saltFactor sub-keys with the assignment row
-          // replicated per salt, then re-aggregated — the shuffled-hash
-          // join otherwise sends a hub's entire neighbor list to one task
-          val hot = deg.where(col("deg") > cfg.hotDegree)
-            .select(col("v").as("dst")).ckpt
-          val coldJ = act.join(hot, Seq("dst"), "left_anti")
-            .join(aByDst.hint("shuffle_hash"), "dst")
-            .select(col("src"), col("nbrComm"), col("weight"))
-          val saltVals = array((0 until cfg.saltFactor).map(lit): _*)
-          val hotJ = act.join(hot, Seq("dst"), "left_semi")
-            .withColumn("salt", pmod(xxhash64(col("src")),
-              lit(cfg.saltFactor)))
-            .join(aByDst.join(hot, Seq("dst"), "left_semi")
-              .withColumn("salt", explode(saltVals)), Seq("dst", "salt"))
-            .select(col("src"), col("nbrComm"), col("weight"))
-          coldJ.unionAll(hotJ).groupBy(col("src"), col("nbrComm"))
-            .agg(sum("weight").as("wTo"))
-        } else if (smallGather) {
-          // one exchange for the whole gather->window->argmax chain: an
-          // explicit hash(src) repartition SATISFIES the clustering
-          // requirements of the (src, nbrComm) aggregation, the
-          // wCur window (partitionBy src) and the argmax groupBy(src)
-          // downstream, so none of them adds its own exchange. (Partial
-          // aggregation is lost, but the gather output is frontier-sized
-          // here; the cold path below keeps map-side combine.)
-          aByDst.join(broadcast(act), "dst")
-            .repartition(col("src"))
-            .groupBy(col("src"), col("nbrComm"))
-            .agg(sum("weight").as("wTo"))
-        } else {
-          act.join(aByDst.hint("shuffle_hash"), "dst")
-            .groupBy(col("src"), col("nbrComm"))
-            .agg(sum("weight").as("wTo"))
+      if (smallGather && cfg.localMoveSweeps) {
+        // hand the rest of the phase to the driver-local sweep loop
+        // (exact BSP parity; one delta-sized gather action per sweep)
+        val lp = localMovePhase(spark, adj, a, aPrev, active, commDeg,
+          deg, sz, unitSize, m2, nVerts, avgDeg, cfg, sink, level, sweep)
+        a = lp.a
+        aPrev = lp.aPrev
+        active = lp.active
+        if (lp.changed.nonEmpty)
+          changed = changed.unionAll(lp.changed.toSeq.toDF("v"))
+        if (lp.affected.nonEmpty)
+          affected = affected.unionAll(lp.affected.toSeq.toDF("v"))
+        if (lp.bail && lp.commDegDelta.nonEmpty)
+          commDeg = commDeg.unionAll(
+            lp.commDegDelta.toSeq.toDF("community", "cdeg", "csize"))
+        totalMoves += lp.movesApplied
+        frontierN = lp.frontierN
+        frontierDegSum = lp.frontierDegSum
+        sweep = lp.sweep
+      } else {
+        val byComm =
+          if (cfg.saltFactor > 1) {
+            // explicit skew split: hub destinations (degree > hotDegree) are
+            // joined through saltFactor sub-keys with the assignment row
+            // replicated per salt, then re-aggregated — the shuffled-hash
+            // join otherwise sends a hub's entire neighbor list to one task
+            val hot = deg.where(col("deg") > cfg.hotDegree)
+              .select(col("v").as("dst")).ckpt
+            val coldJ = act.join(hot, Seq("dst"), "left_anti")
+              .join(aByDst.hint("shuffle_hash"), "dst")
+              .select(col("src"), col("nbrComm"), col("weight"))
+            val saltVals = array((0 until cfg.saltFactor).map(lit): _*)
+            val hotJ = act.join(hot, Seq("dst"), "left_semi")
+              .withColumn("salt", pmod(xxhash64(col("src")),
+                lit(cfg.saltFactor)))
+              .join(aByDst.join(hot, Seq("dst"), "left_semi")
+                .withColumn("salt", explode(saltVals)), Seq("dst", "salt"))
+              .select(col("src"), col("nbrComm"), col("weight"))
+            coldJ.unionAll(hotJ).groupBy(col("src"), col("nbrComm"))
+              .agg(sum("weight").as("wTo"))
+          } else if (smallGather) {
+            // one exchange for the whole gather->window->argmax chain: an
+            // explicit hash(src) repartition SATISFIES the clustering
+            // requirements of the (src, nbrComm) aggregation, the
+            // wCur window (partitionBy src) and the argmax groupBy(src)
+            // downstream, so none of them adds its own exchange. (Partial
+            // aggregation is lost, but the gather output is frontier-sized
+            // here; the cold path below keeps map-side combine.)
+            aByDst.join(broadcast(act), "dst")
+              .repartition(col("src"))
+              .groupBy(col("src"), col("nbrComm"))
+              .agg(sum("weight").as("wTo"))
+          } else {
+            act.join(aByDst.hint("shuffle_hash"), "dst")
+              .groupBy(col("src"), col("nbrComm"))
+              .agg(sum("weight").as("wTo"))
+          }
+
+        // frontier-sized sweeps: the per-vertex lookup tables (community,
+        // degree, size) are frontier-filtered by a broadcast semi-join — a
+        // map-side scan of the V-sized chain, no exchange — and then
+        // broadcast into the candidate pipeline. The unfiltered form
+        // sort-merge-exchanged 2-3 V-sized tables per sweep, the dominant
+        // fixed cost of a warm-update sweep. Cold/full sweeps keep the
+        // unfiltered shuffled joins (a V-sized broadcast would not fit).
+        def flt(df: DataFrame): DataFrame =
+          if (!smallGather) df
+          else broadcast(df.join(
+            broadcast(active.withColumnRenamed("v", "src")),
+            Seq("src"), "left_semi"))
+
+        // wCur (weight to own community) via a window over the same src
+        // partitioning — no self-join, no duplicated subtree
+        val cur = flt(a.select(col("v").as("src"),
+          col("community").as("curComm")))
+        val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+        val j = byComm.join(cur, "src")
+          .withColumn("wCur",
+            sum(when(col("nbrComm") === col("curComm"), col("wTo"))
+              .otherwise(lit(0.0))).over(wSrc))
+
+        // modularity gain = (wTo-wCur)/2m + g*d_v*(cdegCur-d_v-cdegCand)/(2m)^2
+        // (hit_leiden.rs:250-255); CPM gain = (wTo-wCur) - g*sz_v*(csizeCand
+        // - csizeCur + sz_v) (paper Def. 2 with node sizes in base vertices).
+        // Stale community stats by construction.
+        val gainExpr =
+          if (cfg.useCpm)
+            (col("wTo") - col("wCur")) - lit(cfg.gamma) * col("szv") *
+              (col("csizeCand") - col("csizeCur") + col("szv"))
+          else
+            (col("wTo") - col("wCur")) / m2 +
+              lit(cfg.gamma) * col("dv") *
+              (col("cdegCur") - col("dv") - col("cdegCand")) / (m2 * m2)
+        val candBase = j.where(col("nbrComm") =!= col("curComm"))
+          .join(flt(deg.select(col("v").as("src"), col("deg").as("dv"))),
+            "src")
+        val candSz =
+          if (unitSize) candBase.withColumn("szv", lit(1L))
+          else candBase.join(
+            flt(sz.select(col("v").as("src"), col("size").as("szv"))), "src")
+        val cand = candSz
+          .join(commDegA.select(col("community").as("curComm"),
+            col("cdeg").as("cdegCur"), col("csize").as("csizeCur")), "curComm")
+          .join(commDegA.select(col("community").as("nbrComm"),
+            col("cdeg").as("cdegCand"), col("csize").as("csizeCand")),
+            "nbrComm")
+          .withColumn("gain", gainExpr)
+          .where(col("gain") > 0)
+
+        // deterministic argmax: best gain, ties to the smallest community id
+        // (reference deterministic.rs tie policy). The payload struct
+        // carries the mover's degree/size/old community so the community-
+        // stat delta below is a pure projection of this table — no joins.
+        val want0 = cand.groupBy(col("src").as("v"))
+          .agg(max_by(
+            struct(col("nbrComm").as("newComm"), col("curComm").as("oldComm"),
+              col("dv"), col("szv"), col("gain")),
+            struct(col("gain"), negate(col("nbrComm")))).as("m"))
+          .select(col("v"), col("m.newComm"), col("m.oldComm"), col("m.dv"),
+            col("m.szv"), col("m.gain"))
+
+        // revert-gating (see scaladoc): a mover heading back to the
+        // community it sat in BEFORE the previous sweep's barrier is in a
+        // period-2 oscillation (pairwise swaps AND density-driven toggles
+        // both look exactly like this); it applies only on a sweep-salted
+        // hash parity. Everyone else moves immediately. One V-sized join
+        // folded into the same job as the gather — no extra action.
+        val parity = pmod(xxhash64(col("v"), lit(sweep)), lit(2))
+        val wantMoves0 = aPrev match {
+          case None => want0.withColumn("gated", lit(false))
+          case Some(p) =>
+            // same frontier-filter treatment as the lookup joins: the
+            // pre-barrier assignment is V-sized and want0 is frontier-sized
+            val prev0 = p.select(col("v"), col("community").as("prevComm"))
+            val prevJ =
+              if (!smallGather) prev0
+              else broadcast(prev0.join(broadcast(active), Seq("v"),
+                "left_semi"))
+            want0.join(prevJ, Seq("v"), "left")
+            .withColumn("gated",
+              col("prevComm") === col("newComm") && parity === 1)
+            .drop("prevComm")
         }
 
-      // frontier-sized sweeps: the per-vertex lookup tables (community,
-      // degree, size) are frontier-filtered by a broadcast semi-join — a
-      // map-side scan of the V-sized chain, no exchange — and then
-      // broadcast into the candidate pipeline. The unfiltered form
-      // sort-merge-exchanged 2-3 V-sized tables per sweep, the dominant
-      // fixed cost of a warm-update sweep. Cold/full sweeps keep the
-      // unfiltered shuffled joins (a V-sized broadcast would not fit).
-      def flt(df: DataFrame): DataFrame =
-        if (!smallGather) df
-        else broadcast(df.join(
-          broadcast(active.withColumnRenamed("v", "src")),
-          Seq("src"), "left_semi"))
+        // small-frontier sweeps run ONE Spark action: collect the
+        // frontier-sized move table to the driver. The moves/gated tables
+        // become LOCAL relations, so the lazy assignment overlay, the
+        // community-stat delta and the next-frontier seed all
+        // broadcast-join them at zero scan cost, and the count/gain stats
+        // come straight off the collected rows instead of a second job.
+        // Large frontiers (cold start) keep the checkpoint + agg path.
+        var wantRows: Array[org.apache.spark.sql.Row] = null
+        val wantMoves =
+          if (smallGather) {
+            wantRows = wantMoves0.collect()
+            spark.createDataFrame(java.util.Arrays.asList(wantRows: _*),
+              wantMoves0.schema)
+          } else wantMoves0.ckpt
 
-      // wCur (weight to own community) via a window over the same src
-      // partitioning — no self-join, no duplicated subtree
-      val cur = flt(a.select(col("v").as("src"),
-        col("community").as("curComm")))
-      val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
-      val j = byComm.join(cur, "src")
-        .withColumn("wCur",
-          sum(when(col("nbrComm") === col("curComm"), col("wTo"))
-            .otherwise(lit(0.0))).over(wSrc))
+        val counts =
+          if (smallGather) {
+            val gi = wantMoves0.schema.fieldIndex("gated")
+            val gni = wantMoves0.schema.fieldIndex("gain")
+            wantRows.groupBy(_.getBoolean(gi)).map { case (k, rs) =>
+              k -> (rs.length.toLong, rs.iterator.map(_.getDouble(gni)).sum)
+            }
+          } else wantMoves.groupBy(col("gated"))
+            .agg(count(lit(1)).as("n"), sum("gain").as("g")).collect()
+            .map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val nWant = counts.values.map(_._1).sum
+        val nMoves = counts.get(false).map(_._1).getOrElse(0L)
+        // total gain the applied moves claim under the stale snapshot —
+        // approximately the sweep's quality improvement
+        val gainApplied = counts.get(false).map(_._2).getOrElse(0.0)
+        val gainFloor =
+          if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0) else cfg.minSweepGain
+        val moves = wantMoves.where(!col("gated"))
+        val gated = wantMoves.where(col("gated")).select("v")
 
-      // modularity gain = (wTo-wCur)/2m + g*d_v*(cdegCur-d_v-cdegCand)/(2m)^2
-      // (hit_leiden.rs:250-255); CPM gain = (wTo-wCur) - g*sz_v*(csizeCand
-      // - csizeCur + sz_v) (paper Def. 2 with node sizes in base vertices).
-      // Stale community stats by construction.
-      val gainExpr =
-        if (cfg.useCpm)
-          (col("wTo") - col("wCur")) - lit(cfg.gamma) * col("szv") *
-            (col("csizeCand") - col("csizeCur") + col("szv"))
-        else
-          (col("wTo") - col("wCur")) / m2 +
-            lit(cfg.gamma) * col("dv") *
-            (col("cdegCur") - col("dv") - col("cdegCand")) / (m2 * m2)
-      val candBase = j.where(col("nbrComm") =!= col("curComm"))
-        .join(flt(deg.select(col("v").as("src"), col("deg").as("dv"))),
-          "src")
-      val candSz =
-        if (unitSize) candBase.withColumn("szv", lit(1L))
-        else candBase.join(
-          flt(sz.select(col("v").as("src"), col("size").as("szv"))), "src")
-      val cand = candSz
-        .join(commDegA.select(col("community").as("curComm"),
-          col("cdeg").as("cdegCur"), col("csize").as("csizeCur")), "curComm")
-        .join(commDegA.select(col("community").as("nbrComm"),
-          col("cdeg").as("cdegCand"), col("csize").as("csizeCand")),
-          "nbrComm")
-        .withColumn("gain", gainExpr)
-        .where(col("gain") > 0)
+        if (nWant == 0) {
+          sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
+            movesAccepted = 0, frontier = frontierN, qualityDelta = 0.0,
+            seconds = (System.nanoTime() - t0) / 1e9))
+          frontierN = 0
+        } else if (nMoves == 0) {
+          // everyone gated this sweep; retry them next sweep (already a
+          // local relation on the small-frontier path — no job needed)
+          active = if (smallGather) gated else gated.ckpt
+          if (smallGather) {
+            // exact next-frontier degree sum straight off the collected rows
+            val gi = wantMoves0.schema.fieldIndex("gated")
+            val dvi = wantMoves0.schema.fieldIndex("dv")
+            frontierDegSum = wantRows.iterator.filter(_.getBoolean(gi))
+              .map(_.getAs[Number](dvi).doubleValue).sum
+          }
+          // else: gated ⊆ current frontier, so a known sum stays an upper
+          // bound; an unknown (-1) one stays unknown and re-probes
+          frontierN = nWant
+          sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
+            movesAccepted = 0, frontier = frontierN, qualityDelta = 0.0,
+            seconds = (System.nanoTime() - t0) / 1e9))
+        } else {
+          totalMoves += nMoves
+          // assignment update as a LAZY overlay: the moves table is tiny
+          // and already materialized, so consumers re-apply it as a
+          // broadcast join during their scans; a full O(V) checkpoint
+          // rewrite happens only every 4th sweep. Between flattens the
+          // overlay depth is bounded, and warm updates stop paying a
+          // vertex-table materialization per sweep.
+          // The broadcast is gated on the APPLIED move count (known —
+          // collected above): cold-start first sweeps move a large fraction
+          // of all vertices, and an unconditional hint would bypass the
+          // autoBroadcast threshold and OOM executors at scale.
+          val movesSel = moves.select("v", "newComm")
+          val movesJ = graft.util.Bcast.ifFits(movesSel, nMoves,
+            bytesPerRow = 32)
+          val aNew0 = a.join(movesJ, Seq("v"), "left")
+            .select(col("v"),
+              coalesce(col("newComm"), col("community")).as("community"),
+              col("subcomm"))
+          val aNew = if (sweep % 4 == 3) aNew0.ckpt else aNew0
 
-      // deterministic argmax: best gain, ties to the smallest community id
-      // (reference deterministic.rs tie policy). The payload struct
-      // carries the mover's degree/size/old community so the community-
-      // stat delta below is a pure projection of this table — no joins.
-      val want0 = cand.groupBy(col("src").as("v"))
-        .agg(max_by(
-          struct(col("nbrComm").as("newComm"), col("curComm").as("oldComm"),
-            col("dv"), col("szv"), col("gain")),
-          struct(col("gain"), negate(col("nbrComm")))).as("m"))
-        .select(col("v"), col("m.newComm"), col("m.oldComm"), col("m.dv"),
-          col("m.szv"), col("m.gain"))
+          // incremental community-degree/size update: a pure projection of
+          // the applied moves (old community, degree and size ride in the
+          // argmax payload — zero joins here). Applied as a UNION of signed
+          // delta rows re-aggregated at the consumer (commDegA above) —
+          // on the small-frontier path the moves table is a local relation
+          // so the delta rows cost nothing, and the stacked form never
+          // deepens the exchange count. Materialized every 4th sweep.
+          val cdegDelta = moves.select(explode(array(
+            struct(col("oldComm").as("community"), negate(col("dv")).as("d"),
+              negate(col("szv")).as("s")),
+            struct(col("newComm").as("community"), col("dv").as("d"),
+              col("szv").as("s")))).as("x"))
+            .select(col("x.community"), col("x.d").as("cdeg"),
+              col("x.s").as("csize"))
+          val cdUpd = commDeg.select("community", "cdeg", "csize")
+            .unionAll(cdegDelta)
+          commDeg =
+            if (sweep % 4 == 3)
+              cdUpd.groupBy("community")
+                .agg(sum("cdeg").as("cdeg"), sum("csize").as("csize")).ckpt
+            else cdUpd
 
-      // revert-gating (see scaladoc): a mover heading back to the
-      // community it sat in BEFORE the previous sweep's barrier is in a
-      // period-2 oscillation (pairwise swaps AND density-driven toggles
-      // both look exactly like this); it applies only on a sweep-salted
-      // hash parity. Everyone else moves immediately. One V-sized join
-      // folded into the same job as the gather — no extra action.
-      val parity = pmod(xxhash64(col("v"), lit(sweep)), lit(2))
-      val wantMoves0 = aPrev match {
-        case None => want0.withColumn("gated", lit(false))
-        case Some(p) =>
-          // same frontier-filter treatment as the lookup joins: the
-          // pre-barrier assignment is V-sized and want0 is frontier-sized
-          val prev0 = p.select(col("v"), col("community").as("prevComm"))
-          val prevJ =
-            if (!smallGather) prev0
-            else broadcast(prev0.join(broadcast(active), Seq("v"),
+          val mvEdges = moves.select(col("v").as("src"), col("newComm"))
+            .join(adj, "src")
+
+          // K: mover and neighbor sharing a (pre-move) subcommunity
+          // (hit_leiden.rs:274-277). Small sweeps: the mover-side tables
+          // are (locally known to be) tiny — broadcast them so the V-sized
+          // assignment chain streams map-side in both lookups.
+          val srcSc = a.select(col("v").as("src"), col("subcomm").as("scu"))
+          val srcScJ =
+            if (!smallGather) srcSc
+            else broadcast(srcSc.join(
+              broadcast(moves.select(col("v").as("src"))), Seq("src"),
               "left_semi"))
-          want0.join(prevJ, Seq("v"), "left")
-          .withColumn("gated",
-            col("prevComm") === col("newComm") && parity === 1)
-          .drop("prevComm")
+          val withScu = mvEdges.join(srcScJ, "src")
+          val scPairs =
+            if (smallGather)
+              a.select(col("v").as("dst"), col("subcomm").as("scv"))
+                .join(broadcast(withScu), "dst")
+                .where(col("scu") === col("scv"))
+            else withScu
+              .join(a.select(col("v").as("dst"), col("subcomm").as("scv")),
+                "dst")
+              .where(col("scu") === col("scv"))
+          val newAffected = scPairs.select(explode(array(col("src"), col("dst")))
+            .as("v"))
+
+          // accumulate lazily; dedup once at the end (moves/a/adj are all
+          // checkpointed, so the union lineage stays shallow)
+          changed = changed.unionAll(moves.select("v"))
+          affected = affected.unionAll(newAffected)
+          sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
+            movesAccepted = nMoves, frontier = frontierN,
+            qualityDelta = gainApplied,
+            seconds = (System.nanoTime() - t0) / 1e9))
+          aPrev = Some(a)
+          a = aNew
+
+          if (gainApplied < gainFloor && counts.get(true).forall(_._2 < gainFloor)) {
+            // epsilon-gain tail: every further sweep costs fixed job
+            // overhead for quality movement far inside the reference's
+            // 0.001 equivalence band — stop here
+            frontierN = 0
+          } else if (nMoves * avgDeg >= 0.8 * nVerts) {
+            // dense re-activation: the precise next frontier would cover
+            // most of the graph anyway — skip the extra job and run the
+            // next sweep over everyone (the gather skips its semi-join on
+            // a full frontier)
+            active = a.select("v")
+            frontierN = nVerts
+            frontierDegSum = m2 // full frontier: Σdeg = 2m exactly
+          } else {
+            // next frontier: gated movers plus neighbors of applied movers
+            // now in a different community (hit_leiden.rs:270-273)
+            val nextActive = (
+              if (smallGather)
+                a.select(col("v").as("dst"), col("community").as("dcomm"))
+                  .join(broadcast(mvEdges), "dst")
+              else mvEdges.join(
+                a.select(col("v").as("dst"), col("community").as("dcomm")),
+                "dst"))
+              .where(col("dcomm") =!= col("newComm"))
+              .select(col("dst").as("v"))
+              .unionAll(gated)
+              .distinct()
+            if (smallGather) {
+              // small sweeps: COLLECT the (delta-sized) frontier — the next
+              // sweep's 3-4 broadcast builds of `active` then read a local
+              // relation instead of each re-running this subplan, and the
+              // loop gets an exact size AND exact degree sum for its gates
+              // and termination. Collecting (v, deg) instead of (v) costs a
+              // frontier-filtered map scan of `deg` inside the same action;
+              // every frontier member has a deg row by construction
+              // (movers/gated/neighbors all have edges).
+              val withDeg = deg.join(broadcast(nextActive), Seq("v"),
+                "left_semi")
+              val rows = withDeg.collect()
+              active = spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), withDeg.schema)
+              frontierN = rows.length.toLong
+              val dvi = withDeg.schema.fieldIndex("deg")
+              frontierDegSum = rows.iterator
+                .map(_.getAs[Number](dvi).doubleValue).sum
+            } else {
+              // large frontiers: keep it lazy (the gather's semi-join
+              // evaluates it in place); the loop runs on a conservative
+              // over-estimate and terminates via nWant == 0. The salt path
+              // reads `active` twice — only there is a ckpt worth its job.
+              active = if (cfg.saltFactor > 1) nextActive.ckpt else nextActive
+              val nGated = counts.get(true).map(_._1).getOrElse(0L)
+              // exact counts, no artificial floor: a provably-empty next
+              // frontier terminates NOW instead of paying one more full
+              // gather sweep that discovers nWant == 0 (nMoves > 0 in this
+              // branch, so floor the estimate at the movers themselves)
+              frontierN = math.max(nMoves, (nMoves * avgDeg).toLong + nGated)
+              frontierDegSum = -1.0 // lazy frontier: members unknown
+              if (frontierN >= nVerts) {
+                // estimate covers the graph: promote to the explicit full
+                // frontier so the gather skips its semi-join (same shape as
+                // the dense re-activation branch — uncapped on purpose)
+                active = a.select("v")
+                frontierN = nVerts
+                frontierDegSum = m2
+              }
+            }
+          }
+        }
+      sweep += 1
+      }
+    }
+    // flatten any remaining lazy overlay once on exit
+    MovementOut(a.ckpt, changed.distinct(), affected.distinct(), sweep,
+      totalMoves)
+  }
+
+  /** xxHash64 of one long / one int — bit-identical to Spark's
+    * `xxhash64(col, lit)` SQL function (seed chain semantics), so the
+    * driver-local sweep loop reproduces the distributed revert-gating
+    * parity EXACTLY (pinned by LocalSweepSpec against the expression). */
+  private[graft] object Xx {
+    private val P1 = 0x9E3779B185EBCA87L
+    private val P2 = 0xC2B2AE3D27D4EB4FL
+    private val P3 = 0x165667B19E3779F9L
+    private val P4 = 0x85EBCA77C2B2AE63L
+    private val P5 = 0x27D4EB2F165667C5L
+    private def fmix(h0: Long): Long = {
+      var h = h0
+      h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+      h
+    }
+    def hashLong(input: Long, seed: Long): Long = {
+      var hash = seed + P5 + 8L
+      var k1 = input * P2
+      k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= P1
+      hash ^= k1
+      hash = java.lang.Long.rotateLeft(hash, 27) * P1 + P4
+      fmix(hash)
+    }
+    def hashInt(input: Int, seed: Long): Long = {
+      var hash = seed + P5 + 4L
+      hash ^= (input & 0xFFFFFFFFL) * P1
+      hash = java.lang.Long.rotateLeft(hash, 23) * P2 + P3
+      fmix(hash)
+    }
+    /** pmod(xxhash64(v, lit(sweep)), 2) == 1 */
+    def gateParity(v: Long, sweep: Int): Boolean = {
+      val h = hashInt(sweep, hashLong(v, 42L))
+      (((h % 2) + 2) % 2) == 1
+    }
+  }
+
+  private final case class LocalPhaseOut(a: DataFrame,
+      aPrev: Option[DataFrame], active: DataFrame,
+      changed: Array[Long], affected: Array[Long],
+      commDegDelta: Array[(Long, Double, Double)],
+      frontierN: Long, frontierDegSum: Double, sweep: Int,
+      movesApplied: Long, bail: Boolean)
+
+  /** Driver-local movement sweeps — the warm-update hot path.
+    *
+    * Once the frontier's exact degree sum fits the broadcast budget, the
+    * remaining sweeps run on driver-resident primitive-keyed maps with
+    * EXACT BSP parity: per sweep every frontier vertex evaluates the
+    * same stale snapshot (community map + maintained community stats),
+    * the same gain formulas (hit_leiden.rs:250-255 / CPM), the same
+    * argmax tie policy (max gain, ties to the smallest community id —
+    * the distributed `max_by(struct(gain, -nbrComm))`) and the same
+    * sweep-salted revert gating ([[Xx.gateParity]]). Spark work per
+    * sweep: ONE delta-sized gather action — the adjacency + neighbor
+    * attributes of vertices newly activated since the last sweep —
+    * instead of the 6-9 broadcast sub-jobs and V-sized map scans of a
+    * distributed sweep. Bails back to the distributed loop on dense
+    * re-activation or a frontier outgrowing the byte budget.
+    */
+  private def localMovePhase(spark: SparkSession, adj: DataFrame,
+      a0: DataFrame, aPrev0: Option[DataFrame], active0: DataFrame,
+      commDeg: DataFrame, deg: DataFrame, sz: DataFrame, unitSize: Boolean,
+      m2: Double, nVerts: Long, avgDeg: Double, cfg: Config,
+      sink: MetricsSink, level: Int, sweep0: Int): LocalPhaseOut = {
+    import spark.implicits._
+
+    // --- entry state: community stats (O(C) collect) + frontier attrs
+    val cdeg = mutable.LongMap.empty[Double]
+    val csize = mutable.LongMap.empty[Double]
+    commDeg.groupBy("community")
+      .agg(sum("cdeg").as("cdeg"), sum("csize").as("csize"))
+      .collect().foreach { r =>
+        cdeg(r.getLong(0)) = r.getDouble(1)
+        csize(r.getLong(0)) = r.getAs[Number](2).doubleValue
       }
 
-      // small-frontier sweeps run ONE Spark action: collect the
-      // frontier-sized move table to the driver. The moves/gated tables
-      // become LOCAL relations, so the lazy assignment overlay, the
-      // community-stat delta and the next-frontier seed all
-      // broadcast-join them at zero scan cost, and the count/gain stats
-      // come straight off the collected rows instead of a second job.
-      // Large frontiers (cold start) keep the checkpoint + agg path.
-      var wantRows: Array[org.apache.spark.sql.Row] = null
-      val wantMoves =
-        if (smallGather) {
-          wantRows = wantMoves0.collect()
-          spark.createDataFrame(java.util.Arrays.asList(wantRows: _*),
-            wantMoves0.schema)
-        } else wantMoves0.ckpt
+    val comm = mutable.LongMap.empty[Long] // current community (maintained)
+    val sc = mutable.LongMap.empty[Long] // subcomm (static this phase)
+    val degM = mutable.LongMap.empty[Double]
+    val szM = mutable.LongMap.empty[Double]
+    // pre-move community of the LAST sweep's movers (revert-gate ref)
+    var movedLast = mutable.LongMap.empty[Long]
 
-      val counts =
-        if (smallGather) {
-          val gi = wantMoves0.schema.fieldIndex("gated")
-          val gni = wantMoves0.schema.fieldIndex("gain")
-          wantRows.groupBy(_.getBoolean(gi)).map { case (k, rs) =>
-            k -> (rs.length.toLong, rs.iterator.map(_.getDouble(gni)).sum)
+    val entryBase = a0
+      .join(broadcast(active0.select("v")), Seq("v"), "left_semi")
+      .join(deg, Seq("v"))
+    val entryP = aPrev0 match {
+      case None => entryBase.withColumn("prevComm", col("community"))
+      case Some(p) => entryBase.join(
+        p.select(col("v"), col("community").as("prevComm")), Seq("v"),
+        "left")
+    }
+    val entry =
+      if (unitSize) entryP.withColumn("size", lit(1L))
+      else entryP.join(sz, Seq("v"))
+    val eRows = entry
+      .select("v", "community", "subcomm", "deg", "prevComm", "size")
+      .collect()
+    var frontier: Array[Long] = new Array[Long](eRows.length)
+    var ei = 0
+    eRows.foreach { r =>
+      val v = r.getLong(0)
+      frontier(ei) = v; ei += 1
+      comm(v) = r.getLong(1); sc(v) = r.getLong(2)
+      degM(v) = r.getDouble(3)
+      val pc = if (r.isNullAt(4)) r.getLong(1) else r.getLong(4)
+      if (pc != r.getLong(1)) movedLast(v) = pc
+      szM(v) = r.getAs[Number](5).doubleValue
+    }
+    java.util.Arrays.sort(frontier)
+
+    // adjacency of collected sources (self-loops excluded, dst-sorted)
+    val adjL = mutable.LongMap.empty[Array[(Long, Double)]]
+    val aByDstFull = a0.select(col("v").as("dst"),
+      col("community").as("nbrComm"), col("subcomm").as("scv"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("nbrDeg")), "dst")
+    val aByDst =
+      if (unitSize) aByDstFull.withColumn("nbrSize", lit(1L))
+      else aByDstFull.join(
+        sz.select(col("v").as("dst"), col("size").as("nbrSize")), "dst")
+
+    def gatherNew(ids: Array[Long]): Unit = {
+      if (ids.isEmpty) return
+      val idsDf = ids.toSeq.toDF("src")
+      val rows = adj
+        .join(broadcast(idsDf), Seq("src"), "left_semi")
+        .where(col("src") =!= col("dst"))
+        .join(aByDst, "dst")
+        .select("src", "dst", "weight", "nbrComm", "scv", "nbrDeg",
+          "nbrSize")
+        .collect()
+      val bySrc = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Double)]]
+      rows.foreach { r =>
+        val s = r.getLong(0); val d = r.getLong(1)
+        bySrc.getOrElseUpdate(s, mutable.ArrayBuffer.empty) +=
+          ((d, r.getDouble(2)))
+        if (!comm.contains(d)) comm(d) = r.getLong(3)
+        if (!sc.contains(d)) sc(d) = r.getLong(4)
+        if (!degM.contains(d)) degM(d) = r.getDouble(5)
+        if (!szM.contains(d)) szM(d) = r.getAs[Number](6).doubleValue
+      }
+      ids.foreach { s =>
+        adjL(s) = bySrc.get(s).map(_.toArray.sortBy(_._1))
+          .getOrElse(Array.empty)
+      }
+    }
+
+    // --- the sweep loop (exact mirror of the distributed body)
+    val changedSet = mutable.LongMap.empty[Unit]
+    val affectedSet = mutable.LongMap.empty[Unit]
+    val allMoves = mutable.LongMap.empty[Long]
+    val deltaRows = mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    var frontierDegSum = {
+      var s = 0.0; frontier.foreach(s += degM(_)); s
+    }
+    var sweep = sweep0
+    var movesApplied = 0L
+    var frontierN = frontier.length.toLong
+    var bail = false
+    var bailFull = false
+    val gainFloor =
+      if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0) else cfg.minSweepGain
+    val wBy = mutable.LongMap.empty[Double]
+
+    while (frontierN > 0 && sweep < cfg.maxSweeps && !bail) {
+      val t0 = System.nanoTime()
+      gatherNew(frontier.filterNot(adjL.contains))
+
+      // barrier semantics: compute every wanted move against the
+      // sweep-start snapshot, then apply
+      val mvV = mutable.ArrayBuffer.empty[Long]
+      val mvOld = mutable.ArrayBuffer.empty[Long]
+      val mvNew = mutable.ArrayBuffer.empty[Long]
+      val mvDv = mutable.ArrayBuffer.empty[Double]
+      val mvSz = mutable.ArrayBuffer.empty[Double]
+      var gainApplied = 0.0
+      var gatedGain = 0.0
+      val gated = mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { v =>
+        val nb = adjL(v)
+        if (nb.nonEmpty) {
+          wBy.clear()
+          nb.foreach { case (n, w) => wBy(comm(n)) = wBy.getOrElse(comm(n), 0.0) + w }
+          val cur = comm(v)
+          val wCur = wBy.getOrElse(cur, 0.0)
+          val dv = degM(v)
+          val sv = szM(v)
+          var bestC = 0L
+          var bestG = 0.0
+          var found = false
+          wBy.foreach { case (c, wTo) =>
+            if (c != cur) {
+              val g =
+                if (cfg.useCpm)
+                  (wTo - wCur) - cfg.gamma * sv *
+                    (csize.getOrElse(c, 0.0) - csize.getOrElse(cur, 0.0) + sv)
+                else
+                  (wTo - wCur) / m2 + cfg.gamma * dv *
+                    (cdeg.getOrElse(cur, 0.0) - dv -
+                      cdeg.getOrElse(c, 0.0)) / (m2 * m2)
+              if (g > 0 && (!found || g > bestG ||
+                  (g == bestG && c < bestC))) {
+                found = true; bestG = g; bestC = c
+              }
+            }
           }
-        } else wantMoves.groupBy(col("gated"))
-          .agg(count(lit(1)).as("n"), sum("gain").as("g")).collect()
-          .map(r => r.getBoolean(0) -> (r.getLong(1), r.getDouble(2))).toMap
-      val nWant = counts.values.map(_._1).sum
-      val nMoves = counts.get(false).map(_._1).getOrElse(0L)
-      // total gain the applied moves claim under the stale snapshot —
-      // approximately the sweep's quality improvement
-      val gainApplied = counts.get(false).map(_._2).getOrElse(0.0)
-      val gainFloor =
-        if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0) else cfg.minSweepGain
-      val moves = wantMoves.where(!col("gated"))
-      val gated = wantMoves.where(col("gated")).select("v")
+          if (found) {
+            val prevC = movedLast.getOrElse(v, cur)
+            if (prevC == bestC && Xx.gateParity(v, sweep)) {
+              gated += v; gatedGain += bestG
+            } else {
+              mvV += v; mvOld += cur; mvNew += bestC
+              mvDv += dv; mvSz += sv
+              gainApplied += bestG
+            }
+          }
+        }
+      }
+      val nMoves = mvV.length.toLong
+      val nWant = nMoves + gated.length
 
       if (nWant == 0) {
         sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
@@ -557,176 +988,105 @@ object Leiden {
           seconds = (System.nanoTime() - t0) / 1e9))
         frontierN = 0
       } else if (nMoves == 0) {
-        // everyone gated this sweep; retry them next sweep (already a
-        // local relation on the small-frontier path — no job needed)
-        active = if (smallGather) gated else gated.ckpt
-        if (smallGather) {
-          // exact next-frontier degree sum straight off the collected rows
-          val gi = wantMoves0.schema.fieldIndex("gated")
-          val dvi = wantMoves0.schema.fieldIndex("dv")
-          frontierDegSum = wantRows.iterator.filter(_.getBoolean(gi))
-            .map(_.getAs[Number](dvi).doubleValue).sum
-        }
-        // else: gated ⊆ current frontier, so a known sum stays an upper
-        // bound; an unknown (-1) one stays unknown and re-probes
-        frontierN = nWant
+        frontier = gated.toArray
+        java.util.Arrays.sort(frontier)
+        frontierN = frontier.length.toLong
+        frontierDegSum = { var s = 0.0; frontier.foreach(s += degM(_)); s }
         sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
           movesAccepted = 0, frontier = frontierN, qualityDelta = 0.0,
           seconds = (System.nanoTime() - t0) / 1e9))
       } else {
-        totalMoves += nMoves
-        // assignment update as a LAZY overlay: the moves table is tiny
-        // and already materialized, so consumers re-apply it as a
-        // broadcast join during their scans; a full O(V) checkpoint
-        // rewrite happens only every 4th sweep. Between flattens the
-        // overlay depth is bounded, and warm updates stop paying a
-        // vertex-table materialization per sweep.
-        // The broadcast is gated on the APPLIED move count (known —
-        // collected above): cold-start first sweeps move a large fraction
-        // of all vertices, and an unconditional hint would bypass the
-        // autoBroadcast threshold and OOM executors at scale.
-        val movesSel = moves.select("v", "newComm")
-        val movesJ = graft.util.Bcast.ifFits(movesSel, nMoves,
-          bytesPerRow = 32)
-        val aNew0 = a.join(movesJ, Seq("v"), "left")
-          .select(col("v"),
-            coalesce(col("newComm"), col("community")).as("community"),
-            col("subcomm"))
-        val aNew = if (sweep % 4 == 3) aNew0.ckpt else aNew0
-
-        // incremental community-degree/size update: a pure projection of
-        // the applied moves (old community, degree and size ride in the
-        // argmax payload — zero joins here). Applied as a UNION of signed
-        // delta rows re-aggregated at the consumer (commDegA above) —
-        // on the small-frontier path the moves table is a local relation
-        // so the delta rows cost nothing, and the stacked form never
-        // deepens the exchange count. Materialized every 4th sweep.
-        val cdegDelta = moves.select(explode(array(
-          struct(col("oldComm").as("community"), negate(col("dv")).as("d"),
-            negate(col("szv")).as("s")),
-          struct(col("newComm").as("community"), col("dv").as("d"),
-            col("szv").as("s")))).as("x"))
-          .select(col("x.community"), col("x.d").as("cdeg"),
-            col("x.s").as("csize"))
-        val cdUpd = commDeg.select("community", "cdeg", "csize")
-          .unionAll(cdegDelta)
-        commDeg =
-          if (sweep % 4 == 3)
-            cdUpd.groupBy("community")
-              .agg(sum("cdeg").as("cdeg"), sum("csize").as("csize")).ckpt
-          else cdUpd
-
-        val mvEdges = moves.select(col("v").as("src"), col("newComm"))
-          .join(adj, "src")
-
-        // K: mover and neighbor sharing a (pre-move) subcommunity
-        // (hit_leiden.rs:274-277). Small sweeps: the mover-side tables
-        // are (locally known to be) tiny — broadcast them so the V-sized
-        // assignment chain streams map-side in both lookups.
-        val srcSc = a.select(col("v").as("src"), col("subcomm").as("scu"))
-        val srcScJ =
-          if (!smallGather) srcSc
-          else broadcast(srcSc.join(
-            broadcast(moves.select(col("v").as("src"))), Seq("src"),
-            "left_semi"))
-        val withScu = mvEdges.join(srcScJ, "src")
-        val scPairs =
-          if (smallGather)
-            a.select(col("v").as("dst"), col("subcomm").as("scv"))
-              .join(broadcast(withScu), "dst")
-              .where(col("scu") === col("scv"))
-          else withScu
-            .join(a.select(col("v").as("dst"), col("subcomm").as("scv")),
-              "dst")
-            .where(col("scu") === col("scv"))
-        val newAffected = scPairs.select(explode(array(col("src"), col("dst")))
-          .as("v"))
-
-        // accumulate lazily; dedup once at the end (moves/a/adj are all
-        // checkpointed, so the union lineage stays shallow)
-        changed = changed.unionAll(moves.select("v"))
-        affected = affected.unionAll(newAffected)
+        movesApplied += nMoves
+        val movedNow = mutable.LongMap.empty[Long]
+        var i = 0
+        while (i < mvV.length) {
+          val v = mvV(i); val cur = mvOld(i); val nc = mvNew(i)
+          val dv = mvDv(i); val sv = mvSz(i)
+          comm(v) = nc
+          cdeg(cur) = cdeg.getOrElse(cur, 0.0) - dv
+          cdeg(nc) = cdeg.getOrElse(nc, 0.0) + dv
+          csize(cur) = csize.getOrElse(cur, 0.0) - sv
+          csize(nc) = csize.getOrElse(nc, 0.0) + sv
+          deltaRows += ((cur, -dv, -sv)); deltaRows += ((nc, dv, sv))
+          changedSet(v) = (); allMoves(v) = nc
+          movedNow(v) = cur
+          // K: mover and neighbor sharing a (static) subcommunity
+          val mySc = sc(v)
+          adjL(v).foreach { case (n, _) =>
+            if (sc.get(n).contains(mySc)) {
+              affectedSet(v) = (); affectedSet(n) = ()
+            }
+          }
+          i += 1
+        }
+        movedLast = movedNow
         sink.add(IterMetric("leiden.movement", level, sweep, messages = -1,
           movesAccepted = nMoves, frontier = frontierN,
           qualityDelta = gainApplied,
           seconds = (System.nanoTime() - t0) / 1e9))
-        aPrev = Some(a)
-        a = aNew
 
-        if (gainApplied < gainFloor && counts.get(true).forall(_._2 < gainFloor)) {
-          // epsilon-gain tail: every further sweep costs fixed job
-          // overhead for quality movement far inside the reference's
-          // 0.001 equivalence band — stop here
+        if (gainApplied < gainFloor && gatedGain < gainFloor) {
           frontierN = 0
         } else if (nMoves * avgDeg >= 0.8 * nVerts) {
-          // dense re-activation: the precise next frontier would cover
-          // most of the graph anyway — skip the extra job and run the
-          // next sweep over everyone (the gather skips its semi-join on
-          // a full frontier)
-          active = a.select("v")
-          frontierN = nVerts
-          frontierDegSum = m2 // full frontier: Σdeg = 2m exactly
+          // dense re-activation — the distributed full-frontier sweep is
+          // the right engine for this regime
+          bail = true; bailFull = true
         } else {
-          // next frontier: gated movers plus neighbors of applied movers
-          // now in a different community (hit_leiden.rs:270-273)
-          val nextActive = (
-            if (smallGather)
-              a.select(col("v").as("dst"), col("community").as("dcomm"))
-                .join(broadcast(mvEdges), "dst")
-            else mvEdges.join(
-              a.select(col("v").as("dst"), col("community").as("dcomm")),
-              "dst"))
-            .where(col("dcomm") =!= col("newComm"))
-            .select(col("dst").as("v"))
-            .unionAll(gated)
-            .distinct()
-          if (smallGather) {
-            // small sweeps: COLLECT the (delta-sized) frontier — the next
-            // sweep's 3-4 broadcast builds of `active` then read a local
-            // relation instead of each re-running this subplan, and the
-            // loop gets an exact size AND exact degree sum for its gates
-            // and termination. Collecting (v, deg) instead of (v) costs a
-            // frontier-filtered map scan of `deg` inside the same action;
-            // every frontier member has a deg row by construction
-            // (movers/gated/neighbors all have edges).
-            val withDeg = deg.join(broadcast(nextActive), Seq("v"),
-              "left_semi")
-            val rows = withDeg.collect()
-            active = spark.createDataFrame(
-              java.util.Arrays.asList(rows: _*), withDeg.schema)
-            frontierN = rows.length.toLong
-            val dvi = withDeg.schema.fieldIndex("deg")
-            frontierDegSum = rows.iterator
-              .map(_.getAs[Number](dvi).doubleValue).sum
-          } else {
-            // large frontiers: keep it lazy (the gather's semi-join
-            // evaluates it in place); the loop runs on a conservative
-            // over-estimate and terminates via nWant == 0. The salt path
-            // reads `active` twice — only there is a ckpt worth its job.
-            active = if (cfg.saltFactor > 1) nextActive.ckpt else nextActive
-            val nGated = counts.get(true).map(_._1).getOrElse(0L)
-            // exact counts, no artificial floor: a provably-empty next
-            // frontier terminates NOW instead of paying one more full
-            // gather sweep that discovers nWant == 0 (nMoves > 0 in this
-            // branch, so floor the estimate at the movers themselves)
-            frontierN = math.max(nMoves, (nMoves * avgDeg).toLong + nGated)
-            frontierDegSum = -1.0 // lazy frontier: members unknown
-            if (frontierN >= nVerts) {
-              // estimate covers the graph: promote to the explicit full
-              // frontier so the gather skips its semi-join (same shape as
-              // the dense re-activation branch — uncapped on purpose)
-              active = a.select("v")
-              frontierN = nVerts
-              frontierDegSum = m2
+          val next = mutable.LongMap.empty[Unit]
+          gated.foreach(next(_) = ())
+          i = 0
+          while (i < mvV.length) {
+            val nc = mvNew(i)
+            adjL(mvV(i)).foreach { case (n, _) =>
+              if (comm(n) != nc) next(n) = ()
             }
+            i += 1
           }
+          frontier = next.keysIterator.toArray
+          java.util.Arrays.sort(frontier)
+          frontierN = frontier.length.toLong
+          frontierDegSum = { var s = 0.0; frontier.foreach(s += degM(_)); s }
+          if (!graft.util.Bcast.fits(frontierDegSum.toLong,
+              bytesPerRow = 32))
+            bail = true // outgrew the budget: distributed sweeps resume
         }
       }
       sweep += 1
     }
-    // flatten any remaining lazy overlay once on exit
-    MovementOut(a.ckpt, changed.distinct(), affected.distinct(), sweep,
-      totalMoves)
+
+    // --- push-back: ONE assignment overlay for the whole phase
+    val aOut =
+      if (allMoves.isEmpty) a0
+      else {
+        val mv = allMoves.iterator.map { case (v, c) => (v, c) }.toSeq
+          .toDF("v", "newComm")
+        a0.join(broadcast(mv), Seq("v"), "left")
+          .select(col("v"),
+            coalesce(col("newComm"), col("community")).as("community"),
+            col("subcomm"))
+      }
+    // revert-gate reference for a resumed distributed loop: the final
+    // assignment with the LAST sweep's moves undone
+    val aPrevOut =
+      if (!bail) aPrev0
+      else if (movedLast.isEmpty) Some(aOut)
+      else {
+        val pm = movedLast.iterator.map { case (v, c) => (v, c) }.toSeq
+          .toDF("v", "prevComm")
+        Some(aOut.join(broadcast(pm), Seq("v"), "left")
+          .select(col("v"),
+            coalesce(col("prevComm"), col("community")).as("community"),
+            col("subcomm")))
+      }
+    val activeOut =
+      if (bailFull) aOut.select("v")
+      else frontier.toSeq.toDF("v")
+    LocalPhaseOut(aOut, aPrevOut, activeOut,
+      changedSet.keysIterator.toArray, affectedSet.keysIterator.toArray,
+      deltaRows.toArray,
+      if (bailFull) nVerts else frontierN,
+      if (bailFull) m2 else frontierDegSum,
+      sweep, movesApplied, bail)
   }
 
   // ---------------------------------------------------------------------
@@ -951,7 +1311,151 @@ object Leiden {
     val nAffComms = if (isInitial) -1L else affComms.count()
     var round = 0
     var moved = 1L
-    while (moved > 0 && round < cfg.maxRefineRounds) {
+
+    // --- delta-bound phase 2, driver-local (the warm-update hot path):
+    // the scope (members of refined-touched communities) and the refined
+    // vertices' adjacency are collected ONCE, then every BSP merge round
+    // runs on primitive-keyed maps with exact parity (same snapshot
+    // stats, gain formulas, argmax tie policy and anti-swap guard as the
+    // distributed rounds below) — two delta-sized actions + one overlay
+    // push replace 4-6 jobs PER ROUND. Gated on the scope row count and
+    // the exact refined degree sum fitting the broadcast budget.
+    var localRounds = false
+    if (!isInitial && cfg.localMoveSweeps && nAffComms > 0 &&
+        graft.util.Bcast.fits(nAffComms, bytesPerRow = 16)) {
+      import spark.implicits._
+      val scopeAttrs0 = a
+        .join(broadcast(affComms), Seq("community"), "left_semi")
+        .join(deg, Seq("v"))
+      val scopeAttrs =
+        if (unitSize) scopeAttrs0.withColumn("size", lit(1L))
+        else scopeAttrs0.join(sz, Seq("v"))
+      val sRows = scopeAttrs.select("v", "community", "subcomm", "deg",
+        "size").collect()
+      if (graft.util.Bcast.fits(sRows.length.toLong, bytesPerRow = 48)) {
+        val commOf = mutable.LongMap.empty[Long]
+        val scOf = mutable.LongMap.empty[Long]
+        val degOf = mutable.LongMap.empty[Double]
+        val szOf = mutable.LongMap.empty[Double]
+        val scopeIds = new Array[Long](sRows.length)
+        var i = 0
+        sRows.foreach { r =>
+          val v = r.getLong(0)
+          scopeIds(i) = v; i += 1
+          commOf(v) = r.getLong(1); scOf(v) = r.getLong(2)
+          degOf(v) = r.getDouble(3)
+          szOf(v) = r.getAs[Number](4).doubleValue
+        }
+        java.util.Arrays.sort(scopeIds)
+        val refIds = refined.select("v").collect().map(_.getLong(0))
+        java.util.Arrays.sort(refIds)
+        var refDegSum = 0.0
+        refIds.foreach(v => refDegSum += degOf.getOrElse(v, 0.0))
+        if (graft.util.Bcast.fits(refDegSum.toLong, bytesPerRow = 32)) {
+          localRounds = true
+          val adjR = mutable.LongMap.empty[Array[(Long, Double)]]
+          val rDf = refIds.toSeq.toDF("src")
+          val rws = adj.join(broadcast(rDf), Seq("src"), "left_semi")
+            .where(col("src") =!= col("dst"))
+            .select("src", "dst", "weight").collect()
+          val bySrc =
+            mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Double)]]
+          rws.foreach { r =>
+            bySrc.getOrElseUpdate(r.getLong(0),
+              mutable.ArrayBuffer.empty) += ((r.getLong(1),
+              r.getDouble(2)))
+          }
+          refIds.foreach { v =>
+            adjR(v) = bySrc.get(v).map(_.toArray.sortBy(_._1))
+              .getOrElse(Array.empty)
+          }
+          val wBy = mutable.LongMap.empty[Double]
+          val changedSc = mutable.LongMap.empty[Long]
+          val gainFloorL =
+            if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0)
+            else cfg.minSweepGain
+          while (moved > 0 && round < cfg.maxRefineRounds) {
+            val t0 = System.nanoTime()
+            // per-subcomm stats over the scope — one O(scope) pass
+            val scn = mutable.LongMap.empty[Long]
+            val scdeg = mutable.LongMap.empty[Double]
+            val scbase = mutable.LongMap.empty[Double]
+            scopeIds.foreach { v =>
+              val s = scOf(v)
+              scn(s) = scn.getOrElse(s, 0L) + 1L
+              scdeg(s) = scdeg.getOrElse(s, 0.0) + degOf(v)
+              scbase(s) = scbase.getOrElse(s, 0.0) + szOf(v)
+            }
+            // BSP barrier: all merge decisions from the round snapshot
+            val mvV = mutable.ArrayBuffer.empty[Long]
+            val mvSc = mutable.ArrayBuffer.empty[Long]
+            var gSum = 0.0
+            refIds.foreach { v =>
+              val mySc = scOf(v)
+              if (scn.getOrElse(mySc, 0L) == 1L) {
+                val myComm = commOf(v)
+                wBy.clear()
+                adjR(v).foreach { case (n, w) =>
+                  if (commOf.get(n).contains(myComm)) {
+                    val s = scOf(n)
+                    wBy(s) = wBy.getOrElse(s, 0.0) + w
+                  }
+                }
+                val wCur = wBy.getOrElse(mySc, 0.0)
+                val dv = degOf(v)
+                val sv = szOf(v)
+                var bestS = 0L
+                var bestG = 0.0
+                var found = false
+                wBy.foreach { case (s, wTo) =>
+                  if (s != mySc &&
+                      (scn.getOrElse(s, 0L) > 1L || s < mySc)) {
+                    val g =
+                      if (cfg.useCpm)
+                        (wTo - wCur) - cfg.gamma * sv *
+                          scbase.getOrElse(s, 0.0)
+                      else
+                        (wTo - wCur) / m2 + cfg.gamma * dv *
+                          (scdeg.getOrElse(mySc, 0.0) - dv -
+                            scdeg.getOrElse(s, 0.0)) / (m2 * m2)
+                    if (g > 0 && (!found || g > bestG ||
+                        (g == bestG && s < bestS))) {
+                      found = true; bestG = g; bestS = s
+                    }
+                  }
+                }
+                if (found) {
+                  mvV += v; mvSc += bestS; gSum += bestG
+                }
+              }
+            }
+            moved = mvV.length.toLong
+            var j = 0
+            while (j < mvV.length) {
+              scOf(mvV(j)) = mvSc(j); changedSc(mvV(j)) = mvSc(j)
+              j += 1
+            }
+            sink.add(IterMetric("leiden.refinement", level, round,
+              messages = -1, movesAccepted = moved, frontier = -1,
+              qualityDelta = gSum,
+              seconds = (System.nanoTime() - t0) / 1e9))
+            round += 1
+            if (gSum < gainFloorL) moved = 0
+          }
+          // one overlay push for the whole phase
+          if (changedSc.nonEmpty) {
+            val mv = changedSc.iterator.map { case (v, s) => (v, s) }
+              .toSeq.toDF("v", "newSc")
+            a = a.join(broadcast(mv), Seq("v"), "left")
+              .select(col("v"), col("community"),
+                coalesce(col("newSc"), col("subcomm")).as("subcomm"))
+              .ckpt
+          }
+        }
+      }
+    }
+
+    while (!localRounds && moved > 0 && round < cfg.maxRefineRounds) {
       val t0 = System.nanoTime()
       // communities are fixed during refinement, but subcomms move — the
       // scope filter re-applies to the CURRENT assignment each round.

@@ -158,6 +158,52 @@ object LocalLeiden {
     out.result()
   }
 
+  /** Connectivity repair over PRE-DENSIFIED arrays — the
+    * maintained-mirror warm path: same semantics as
+    * [[repairConnectivity]] (union within equal labels, every node
+    * relabeled to the min member of its community-restricted component)
+    * without the per-batch sort/dedup/binary-search/boxed-Map costs,
+    * which dominate that path (the union-find itself is linear).
+    *
+    * @param verts  sorted external ids (dense id = index)
+    * @param src,dst dense endpoint arrays
+    * @param labels per-vertex community label; mutated IN PLACE to the
+    *               repaired (component-min) labels
+    * @return true when any label changed (a split or stale-min relabel)
+    */
+  def repairDense(verts: Array[Long], src: Array[Int], dst: Array[Int],
+      labels: Array[Long]): Boolean = {
+    val m = verts.length
+    val parent = Array.tabulate(m)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var e = 0
+    while (e < src.length) {
+      val iu = src(e); val iv = dst(e)
+      if (labels(iu) == labels(iv)) {
+        val ra = find(iu); val rb = find(iv)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      e += 1
+    }
+    // component root index is the min dense member = min external id
+    var changed = false
+    var k = 0
+    while (k < m) {
+      val lbl = verts(find(k))
+      if (labels(k) != lbl) { labels(k) = lbl; changed = true }
+      k += 1
+    }
+    changed
+  }
+
   /** Connected components on a driver-local edge list: label = min member
     * id. Used by the refinement CC-split when the affected subgraph is
     * batch-sized. Primitive-array union-find (see repairConnectivity);
@@ -278,23 +324,59 @@ object LocalLeiden {
         }
         unpack(map)
       }
-    // m2 is a GLOBAL constant of the hierarchy (contraction preserves
-    // total weight; totalWeight counts a canonical edge once)
-    var m2 = 0.0
-    w.foreach(m2 += 2.0 * _)
     mark("pack-edges")
 
-    var n = nBase
-    var sizes = Array.tabulate(n)(i =>
+    val sizes0 = Array.tabulate(nBase)(i =>
       nodeSize.getOrElse(verts(i), 1L).toDouble)
+    val labels0 = Array.tabulate(nBase)(i =>
+      initial.getOrElse(verts(i), verts(i)))
+    solveDense(verts, src, dst, w, sizes0, labels0, cfg)
+  }
+
+  /** Pre-densified hierarchical solve — the maintained-mirror hot path:
+    * the caller already holds sorted external ids and dense endpoint
+    * arrays (maintained across warm batches), so the per-batch
+    * sort/dedup/binary-search densification of [[solve]] is skipped
+    * entirely.
+    *
+    * @param verts    sorted distinct external ids; dense id = index
+    * @param src0,dst0 dense endpoint arrays (canonical: unique pairs,
+    *                 i <= j not required but each undirected edge once)
+    * @param w0       edge weights
+    * @param sizes0   per-vertex size in base vertices (CPM); 1.0 for
+    *                 modularity
+    * @param labels0  per-vertex seed community LABEL (external id space);
+    *                 distinct labels = distinct seed communities
+    * @param activeInit per-vertex level-0 movement activation (delta
+    *                 frontier); null = all active (cold / full polish)
+    * @return final (vertex -> community), community = min member id
+    */
+  def solveDense(verts: Array[Long], src0: Array[Int], dst0: Array[Int],
+      w0: Array[Double], sizes0: Array[Double], labels0: Array[Long],
+      cfg: Leiden.Config,
+      activeInit: Array[Boolean] = null): Map[Long, Long] = {
+    val nBase = verts.length
+    if (nBase == 0) return Map.empty
+    val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debugT) {
+      val now = System.nanoTime()
+      System.err.println(f"[loc] $phase%-14s ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
+    var src = src0; var dst = dst0; var w = w0
+    var m2 = 0.0
+    w.foreach(m2 += 2.0 * _)
+
+    var n = nBase
+    var sizes = sizes0
     var commInit: Array[Int] = {
       // external initial labels -> dense community indices (min member)
-      val lbl = Array.tabulate(n)(i => initial.getOrElse(verts(i), verts(i)))
       val first = mutable.HashMap.empty[Long, Int]
       val out = new Array[Int](n)
       var i = 0
       while (i < n) {
-        out(i) = first.getOrElseUpdate(lbl(i), i)
+        out(i) = first.getOrElseUpdate(labels0(i), i)
         i += 1
       }
       out
@@ -305,7 +387,8 @@ object LocalLeiden {
     var level = 0
     var done = false
     while (!done && level < cfg.maxLevels) {
-      val (comm, sub) = solveLevel(n, src, dst, w, sizes, commInit, m2, cfg)
+      val (comm, sub) = solveLevel(n, src, dst, w, sizes, commInit, m2, cfg,
+        if (level == 0) activeInit else null)
       mark(s"level-$level n=$n e=${src.length}")
       topComm = comm
       // remap subcommunities to dense next-level ids (first-occurrence
@@ -391,7 +474,8 @@ object LocalLeiden {
     * Returns (community, subcomm) as dense indices. */
   private def solveLevel(n: Int, src: Array[Int], dst: Array[Int],
       w: Array[Double], sz: Array[Double], commInit: Array[Int],
-      m2: Double, cfg: Leiden.Config): (Array[Int], Array[Int]) = {
+      m2: Double, cfg: Leiden.Config,
+      activeInit: Array[Boolean] = null): (Array[Int], Array[Int]) = {
 
     // CSR (degree count -> prefix sum -> scatter), both directions,
     // self-loops excluded from gathers but counted twice in degrees
@@ -443,8 +527,10 @@ object LocalLeiden {
     // (parallel_frontier.rs:117-174), epsilon-gain round floor (the
     // quadratic term makes arbitrarily small positive gains real; the
     // forfeited tail is far inside the 0.001 equivalence band)
-    val active = Array.fill(n)(true)
-    var anyActive = true
+    val active =
+      if (activeInit == null) Array.fill(n)(true)
+      else java.util.Arrays.copyOf(activeInit, n)
+    var anyActive = activeInit == null || active.exists(identity)
     var rounds = 0
     val wBuf = new Array[Double](n)
     val dirty = new Array[Int](n)

@@ -52,9 +52,14 @@ object Ann {
     // vectors cast to double BEFORE any arithmetic: float-precision
     // products would diverge from a double-computing SQL oracle (and
     // double accumulation is the right numeric choice anyway)
-    def nrm(c: Column) = if (dim > 0) normN(c, dim) else norm(c)
+    // dim known -> ONE codegen'd loop per pair (graft.functions
+    // .DotProduct); same accumulation order as dotN, bit-identical
+    val ss = queries.sparkSession
+    def nrm(c: Column) = if (dim > 0)
+      sqrt(graft.functions.VectorExprs.dotFast(ss, c, c)) else norm(c)
     def dp(a: Column, b: Column) =
-      if (dim > 0) dotN(a, b, dim) else dot(a, b)
+      if (dim > 0) graft.functions.VectorExprs.dotFast(ss, a, b)
+      else dot(a, b)
     // broadcast the small QUERY side (the brute-force contract) and
     // spread the corpus — a small parquet corpus otherwise arrives as one
     // partition and the whole O(|q|*|c|) evaluation runs in a single task
@@ -165,7 +170,8 @@ object Ann {
         col("vec").cast("array<double>").as(vecName),
         (if (compactSig) rhpSignatureCompact(col("vec"), dim, planes, seed)
          else rhpSignature(col("vec"), dim, planes, seed)).as("sig"))
-        .withColumn(nName, normN(col(vecName), dim))
+        .withColumn(nName, sqrt(graft.functions.VectorExprs.dotFast(
+          df.sparkSession, col(vecName), col(vecName))))
         .select(col(idName), col(vecName), col(nName),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
@@ -179,7 +185,8 @@ object Ann {
     val scored = q.join(c, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dotN(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("cos"))
+        (graft.functions.VectorExprs.dotFast(queries.sparkSession,
+          col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -48,13 +48,16 @@ object IncBench {
       degIntra = 6, degInter = 1).localCheckpoint(true)
     val (init, batches) = Incremental.paperSplit(edges, 0.8, batchSize,
       rounds)
+    // A/B diagnostics: SPARK_GRAFT_INC_HIER=0 pins the re-solve path
+    val cfg = graft.algo.Leiden.Config(incrementalHierarchy =
+      !sys.env.get("SPARK_GRAFT_INC_HIER").contains("0"))
 
     def secs[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val (state0, tInit) = secs(Incremental.initial(init))
+    val (state0, tInit) = secs(Incremental.initial(init, cfg))
     var state = state0
     var cumulative = init
     val rows = batches.zipWithIndex.map { case (b, i) =>
@@ -63,7 +66,7 @@ object IncBench {
       val sink =
         if (debugT) new graft.run.MetricsSink else graft.run.MetricsSink.discard
       val (next, tWarm) = secs {
-        val s = Incremental.update(state, b, sink = sink)
+        val s = Incremental.update(state, b, cfg, sink = sink)
         s.assign.count(); s
       }
       if (debugT) sink.all.foreach { it =>
@@ -74,7 +77,7 @@ object IncBench {
       state = next
       val (cold, tCold) =
         if (doCold) secs {
-          val s = Incremental.initial(cumulative); s.assign.count(); s
+          val s = Incremental.initial(cumulative, cfg); s.assign.count(); s
         } else (null, 0.0)
       val qWarm = Quality.modularity(state.canon,
         state.assign.select(col("v"), col("community")))

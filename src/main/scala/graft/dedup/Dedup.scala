@@ -152,9 +152,15 @@ object Dedup {
     // statically-known dim the per-pair dot is the codegen'd unrolled
     // form. Same arithmetic as Ann.cosine — values bit-identical to the
     // SQL oracle.
-    def nrm(c: Column) = if (dim > 0) Ann.normN(c, dim) else Ann.norm(c)
+    // dim known -> ONE codegen'd loop per pair (graft.functions.DotProduct)
+    // instead of a dim-deep element_at chain; same accumulation order,
+    // bit-identical values (CORRECTNESS gate pins it vs the SQL oracle)
+    val ss = emb.sparkSession
+    def nrm(c: Column) = if (dim > 0)
+      sqrt(graft.functions.VectorExprs.dotFast(ss, c, c)) else Ann.norm(c)
     def dp(x: Column, y: Column) =
-      if (dim > 0) Ann.dotN(x, y, dim) else Ann.dot(x, y)
+      if (dim > 0) graft.functions.VectorExprs.dotFast(ss, x, y)
+      else Ann.dot(x, y)
     // a small parquet source arrives as ONE partition; without the
     // repartition the whole O(n^2) pair evaluation runs in a single task.
     // Spread the stream side across the session's parallelism and
@@ -201,8 +207,8 @@ object Dedup {
         col("v").as("vb"), col("n").as("nb")), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Ann.dotN(col("va"), col("vb"), dim) / (col("na") * col("nb")),
-          6).as("cos"))
+        round(graft.functions.VectorExprs.dotFast(emb.sparkSession,
+          col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= minCos) // filter BEFORE the dedup shuffle
       .distinct()
   }

@@ -45,7 +45,8 @@ class HierSpec extends SparkSpecBase {
     val cfgSolve = Leiden.Config(incrementalHierarchy = false)
 
     var hier = Incremental.initial(init, cfgHier)
-    assert(hier.hierCache.isDefined, "local path must build the hierarchy")
+    assert(hier.upper.isDefined,
+      "local path must build the maintained composition")
     var solve = Incremental.initial(init, cfgSolve)
     var hier2 = Incremental.initial(init, cfgHier)
     // the reference's equivalence band (quality delta <= 0.001,
@@ -152,9 +153,10 @@ class HierSpec extends SparkSpecBase {
     val cfg = Leiden.Config(incrementalHierarchy = true)
     var st = Incremental.initial(init, cfg)
     // simulate resume: hierarchy (and mirror) gone
-    st = st.copy(hierCache = None, superCache = None)
+    st = st.copy(hierCache = None, superCache = None, upper = None)
     st = Incremental.update(st, batches.head, cfg)
-    assert(st.hierCache.isDefined, "re-solve must rebuild the hierarchy")
+    assert(st.upper.isDefined,
+      "re-solve must rebuild the maintained composition")
     st = Incremental.update(st, batches(1), cfg)
     assert(st.assign.count() > 0)
     assertConnected(st)
