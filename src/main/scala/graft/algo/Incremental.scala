@@ -631,7 +631,13 @@ object Incremental {
       .where(col("subcomm") =!= col("scPre"))
       .select("v").ckpt
     val (deltaH, _) = IncAggregation(adj, deltaC, sPre0, sCur, refR, cfg.eps)
-    val newSuper = EdgeOps.mergeDelta(state.superCanon, deltaH, cfg.eps).ckpt
+    // the mirror path never SCANS superCanon (the sorted-array mirror is
+    // the live level-1 graph), so the O(E_1) materialization runs on the
+    // deg-overlay cadence instead of every batch; between flattens the
+    // lazy mergeDelta overlay (broadcast anti/semi joins) stacks at most
+    // 4 deep, and fallback/resume/checkpoint consumers evaluate it as-is
+    val newSuper0 = EdgeOps.mergeDelta(state.superCanon, deltaH, cfg.eps)
+    val newSuper = if (state.epoch % 4 == 3) newSuper0.ckpt else newSuper0
     // collect the (checkpointed, delta-sized) supergraph delta ONCE — it
     // feeds both the sorted-array mirror and the maintained hierarchy
     val dRows: Array[(Long, Long, Double)] =
