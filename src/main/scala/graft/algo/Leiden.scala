@@ -201,13 +201,30 @@ object Leiden {
     while (!done && level < cfg.maxLevels) {
       // top-of-hierarchy local solve: once the (super)graph is small the
       // sequential deterministic solver finishes the hierarchy in one
-      // driver-side call instead of dozens of fixed-cost Spark jobs
-      if (cfg.localSolveEdges > 0 && canon.count() <= cfg.localSolveEdges &&
-          (level >= cfg.localSolveMinLevel ||
-            (cfg.localSolveLevel0Verts > 0 &&
-              EdgeOps.vertices(canon).count() <= cfg.localSolveLevel0Verts))) {
-        val es = canon.select("src", "dst", "weight").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // driver-side call instead of dozens of fixed-cost Spark jobs.
+      // The level-0 vertex bound (explicit opt-in) is checked on the
+      // already-collected edges instead of a distinct-count job: the
+      // collect is bounded by the edge gate either way, and the common
+      // opted-in case (tiny graph) saves a fixed-cost Spark action —
+      // a failed vertex check just discards the bounded array and
+      // falls through to the distributed level.
+      val edgeGate = cfg.localSolveEdges > 0 &&
+        canon.count() <= cfg.localSolveEdges &&
+        (level >= cfg.localSolveMinLevel || cfg.localSolveLevel0Verts > 0)
+      val esOpt: Option[Array[(Long, Long, Double)]] =
+        if (!edgeGate) None
+        else {
+          val es = canon.select("src", "dst", "weight").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          if (level >= cfg.localSolveMinLevel) Some(es)
+          else {
+            val vs = new java.util.HashSet[Long]()
+            es.foreach { e => vs.add(e._1); vs.add(e._2) }
+            if (vs.size() <= cfg.localSolveLevel0Verts) Some(es) else None
+          }
+        }
+      if (esOpt.isDefined) {
+        val es = esOpt.get
         val szM = carriedSize.map(_.collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap).getOrElse(Map.empty)
         val cmM = carriedComm.map(_.collect()

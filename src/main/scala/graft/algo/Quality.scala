@@ -40,6 +40,27 @@ object Quality {
     wIn / m - gamma * sumSq / (4.0 * m * m)
   }
 
+  /** Modularity of the all-singletons partition in closed form: with
+    * every vertex its own community, intra-community weight is the
+    * self-loop weight alone and d_C = d_v, so
+    *   Q = W_self/m − γ · Σ_v (d_v / 2m)²
+    * — two aggregations over the canonical table, no assignment join.
+    * Same value as `modularity(canonical, v→v)` (the generic path is
+    * equivalence-tested against this in QualitySpec); used where the
+    * singleton baseline is wanted without paying the join. */
+  def singletonModularity(canonical: DataFrame, gamma: Double = 1.0): Double = {
+    val mRow = canonical.agg(sum("weight"),
+      sum(when(col("src") === col("dst"), col("weight")))).collect()(0)
+    val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
+    if (m == 0.0) return 0.0
+    val wSelf = if (mRow.isNullAt(1)) 0.0 else mRow.getDouble(1)
+    val adj = EdgeOps.symmetrize(canonical)
+    val sqRow = EdgeOps.degrees(adj)
+      .agg(sum(col("deg") * col("deg"))).collect()(0)
+    val sumSq = if (sqRow.isNullAt(0)) 0.0 else sqRow.getDouble(0)
+    wSelf / m - gamma * sumSq / (4.0 * m * m)
+  }
+
   /** Constant Potts Model quality (unnormalized, standard form). */
   def cpm(canonical: DataFrame, assign: DataFrame,
       gamma: Double = 1.0): Double = {

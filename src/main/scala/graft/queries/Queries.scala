@@ -76,23 +76,26 @@ object Queries {
     * The partition itself is an iterative heuristic (no SQL oracle), but
     * its QUALITY is exactly checkable — the emitted `quality_ok` column
     * makes the query self-evidencing: it requires the achieved
-    * modularity to beat the singleton baseline AND a committed floor.
+    * modularity to beat the singleton baseline AND be positive.
     * The derived graph is dense and noisy by construction (measured Q:
-    * 0.3245 at sf0.001; density rises with SF so Q falls), so the floor
-    * 0.05 is a collapse guard, not a quality target — a degenerate
-    * solver output (singletons ~0.0, one-big-community < 0) flips every
-    * row to false and fails the rows-only gate's human read
-    * immediately. */
+    * 0.3245 at sf0.001, 0.0969 at sf0.01, 0.0287 at sf0.1 — density
+    * rises with SF so Q falls toward 0), so the guard must be
+    * scale-free: a degenerate solver output (singleton collapse
+    * q == qSingleton ~ 0, one-big-community q < 0) flips every row to
+    * false and fails the rows-only gate's human read immediately,
+    * while any real partition clears it at every SF. */
   def qLeiden(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Ckpt._
     val g = lineitemGraph(spark, dir)
     val res = Leiden.run(g, Leiden.Config(localSolveLevel0Verts = 100000))
-    val canon = EdgeOps.compress(g)
-    val assign = res.assignment.select(col("v"), col("community"))
-    val q = Quality.modularity(canon, assign)
-    val qSingleton = Quality.modularity(canon,
-      assign.select(col("v"), col("v").as("community")))
+    // run() already scores the real modularity of its result over the
+    // same canonical table; the singleton baseline has a closed form
+    // over one materialized canon — no second full quality pass
+    val q = res.modularity
+    val qSingleton =
+      Quality.singletonModularity(EdgeOps.compress(g).ckpt)
     res.assignment.withColumn("quality_ok",
-      lit(q > qSingleton && q >= 0.05))
+      lit(q > qSingleton && q > 0.0))
   }
 
   def qTrianglesPerVertex(spark: SparkSession, dir: String): DataFrame =
@@ -102,8 +105,9 @@ object Queries {
     * quality scoring (two aggregations over exact-integer sums, so the
     * value is bit-reproducible against SQL). */
   def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Ckpt._
     val g = lineitemGraph(spark, dir)
-    val canon = EdgeOps.compress(g)
+    val canon = EdgeOps.compress(g).ckpt // 3 actions in modularity()
     val assign = ConnectedComponents.run(g, localSolveVerts = 100000)
       .components
       .select(col("v"), col("component").as("community"))
@@ -114,8 +118,9 @@ object Queries {
 
   /** CPM quality of the connected-components partition (gamma = 1). */
   def qCpm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Ckpt._
     val g = lineitemGraph(spark, dir)
-    val canon = EdgeOps.compress(g)
+    val canon = EdgeOps.compress(g).ckpt // 2 actions in cpm()
     val assign = ConnectedComponents.run(g, localSolveVerts = 100000)
       .components
       .select(col("v"), col("component").as("community"))

@@ -97,4 +97,34 @@ class FastPathEquivalenceSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.forall { case (a, b) => a == b }, got.mkString(","))
   }
+
+  test("closed-form singleton modularity == generic path on v->v") {
+    import graft.algo.Quality
+    import graft.graph.EdgeOps
+    // include a self-loop so the W_self term is exercised
+    val g = randGraph(80, 400)
+      .union(spark.range(1).select(lit(5L).as("src"), lit(5L).as("dst"),
+        lit(2.5).as("weight")))
+    val canon = EdgeOps.compress(g)
+    val singles = EdgeOps.vertices(canon)
+      .select(col("v"), col("v").as("community"))
+    val generic = Quality.modularity(canon, singles)
+    val closed = Quality.singletonModularity(canon)
+    assert(math.abs(generic - closed) <= 1e-12, s"$generic vs $closed")
+  }
+
+  test("level-0 local-solve vertex gate: over-bound falls back to " +
+      "distributed with identical partition") {
+    import graft.algo.Leiden
+    val g = randGraph(120, 360, seed = 21L)
+    // bound below the vertex count: the collected-edge check must
+    // discard and continue distributed, not local-solve anyway
+    val fallback = Leiden.run(g, Leiden.Config(localSolveEdges = 1000000,
+      localSolveLevel0Verts = 10, localSolveMinLevel = 99,
+      maxLevels = 2))
+    val dist = Leiden.run(g, Leiden.Config(localSolveEdges = 0,
+      maxLevels = 2))
+    assert(canonicalPartition(toMapLL(fallback.assignment)) ==
+      canonicalPartition(toMapLL(dist.assignment)))
+  }
 }
