@@ -27,11 +27,22 @@ object LabelPropagation {
 
   final case class Result(labels: DataFrame, iterations: Int)
 
+  /** @param localSolveVerts when > 0, a graph with at most this many
+    *   vertices (and a bounded edge count) is collected and solved with
+    *   the identical synchronous sweep on driver arrays — one job
+    *   instead of maxIter fixed-cost supersteps. Value-identical to the
+    *   distributed path: the per-(v,label) weight sums are exact for
+    *   the integer-valued multiplicities the canonical table carries
+    *   (order-independent), and the (w, -label) argmax tie policy is
+    *   the same — parity-pinned in FastPathEquivalenceSpec. Off by
+    *   default; tiny-graph callers (driver queries) opt in, any
+    *   web-scale graph fails the bound and stays distributed. */
   def run(
       edges: DataFrame,
       vertices: Option[DataFrame] = None,
       maxIter: Int = 10,
-      sink: MetricsSink = MetricsSink.discard): Result = {
+      sink: MetricsSink = MetricsSink.discard,
+      localSolveVerts: Long = 0): Result = {
 
     val canon = EdgeOps.compress(edges).where(col("src") =!= col("dst"))
       .ckpt
@@ -44,6 +55,21 @@ object LabelPropagation {
     // on the (known) vertex count because at web scale the label table is
     // V-sized and must shuffle.
     val nVerts = verts.count()
+
+    if (localSolveVerts > 0 && nVerts <= localSolveVerts &&
+        canon.count() <= 10_000_000L) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val vs = verts.collect().map(_.getLong(0))
+      // edges with an endpoint outside the vertex universe contribute
+      // nothing distributed (no label row to gather) — filter for parity
+      val inVs = vs.toSet
+      val es = canon.select("src", "dst", "weight").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(e => inVs(e._1) && inVs(e._2))
+      val (local, its) = localLpa(vs, es, maxIter, sink)
+      return Result(local.toSeq.toDF("v", "label"), its)
+    }
     // ~32 B per (v, label) row against the heap-derived budget
     val bcastLabels = graft.util.Bcast.fits(nVerts, bytesPerRow = 32)
     // static side partitioned by the per-round join key (see CC/PageRank)
@@ -88,5 +114,78 @@ object LabelPropagation {
       done = changed == 0
     }
     Result(labels, it)
+  }
+
+  /** Driver-side mirror of one-superstep-per-round synchronous LPA:
+    * gather total incident weight per (v, neighbor-label), argmax by
+    * (w, -label), apply synchronously, stop on zero changes or maxIter.
+    * Exactly the distributed loop's semantics (see run()). */
+  private[graft] def localLpa(
+      vs: Array[Long],
+      es: Array[(Long, Long, Double)],
+      maxIter: Int,
+      sink: MetricsSink): (Map[Long, Long], Int) = {
+    // densify to 0..n-1 and pack a symmetrized CSR once; the sweep then
+    // runs on primitive arrays (no per-edge boxing per iteration)
+    val sorted = vs.sorted
+    val n = sorted.length
+    def dense(v: Long): Int = java.util.Arrays.binarySearch(sorted, v)
+    val degOut = new Array[Int](n)
+    es.foreach { case (s, d, _) =>
+      degOut(dense(s)) += 1; degOut(dense(d)) += 1
+    }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + degOut(i); i += 1 }
+    val nbr = new Array[Int](off(n))
+    val wgt = new Array[Double](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    es.foreach { case (s, d, w) =>
+      val ds = dense(s); val dd = dense(d)
+      nbr(fill(ds)) = dd; wgt(fill(ds)) = w; fill(ds) += 1
+      nbr(fill(dd)) = ds; wgt(fill(dd)) = w; fill(dd) += 1
+    }
+    // labels as dense indices (label id = sorted(idx)); init = self.
+    // Min-label ties on original ids == min dense index (order-preserving
+    // densification), so the tie policy survives the remap.
+    var labels = Array.tabulate(n)(identity)
+    val accW = new Array[Double](n) // per-vertex scratch, label-indexed
+    val touched = new Array[Int](n)
+    var it = 0
+    var done = n == 0
+    while (!done && it < maxIter) {
+      val t0 = System.nanoTime()
+      val next = new Array[Int](n)
+      var changed = 0L
+      var v = 0
+      while (v < n) {
+        var k = off(v); var nTouched = 0
+        var bl = -1; var bw = 0.0
+        while (k < off(v + 1)) {
+          val l = labels(nbr(k))
+          if (accW(l) == 0.0) { touched(nTouched) = l; nTouched += 1 }
+          accW(l) += wgt(k)
+          k += 1
+        }
+        var t = 0
+        while (t < nTouched) {
+          val l = touched(t); val w = accW(l)
+          if (bl < 0 || w > bw || (w == bw && l < bl)) { bl = l; bw = w }
+          accW(l) = 0.0
+          t += 1
+        }
+        val nl = if (bl < 0) labels(v) else bl
+        if (nl != labels(v)) changed += 1
+        next(v) = nl
+        v += 1
+      }
+      labels = next
+      sink.add(IterMetric("lpa", 0, it, messages = -1,
+        movesAccepted = changed, frontier = -1, qualityDelta = 0.0,
+        seconds = (System.nanoTime() - t0) / 1e9))
+      it += 1
+      done = changed == 0
+    }
+    (Array.tabulate(n)(v => sorted(v) -> sorted(labels(v))).toMap, it)
   }
 }

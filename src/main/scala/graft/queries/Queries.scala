@@ -66,7 +66,8 @@ object Queries {
       .ranks.select(col("v"), round(col("rank"), 4).as("rank"))
 
   def qLpa(spark: SparkSession, dir: String): DataFrame =
-    LabelPropagation.run(lineitemGraph(spark, dir), maxIter = 10).labels
+    LabelPropagation.run(lineitemGraph(spark, dir), maxIter = 10,
+      localSolveVerts = 100000).labels
 
   /** The derived graph has at most 1,500 vertices regardless of SF —
     * exactly the shape the level-0 sequential bound exists for (dozens of

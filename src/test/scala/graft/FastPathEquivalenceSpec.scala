@@ -98,6 +98,19 @@ class FastPathEquivalenceSpec extends SparkSpecBase {
     assert(got.forall { case (a, b) => a == b }, got.mkString(","))
   }
 
+  test("LPA local sweep path == distributed BSP path") {
+    import graft.algo.LabelPropagation
+    // multiplicity-weighted graph (duplicate edges merge in compress),
+    // dense enough for real ties and label competition
+    val g = randGraph(150, 900, seed = 11L)
+      .union(randGraph(150, 400, seed = 11L)) // duplicates => weights > 1
+    val local = LabelPropagation.run(g, maxIter = 10,
+      localSolveVerts = 100000)
+    val dist = LabelPropagation.run(g, maxIter = 10)
+    assert(toMapLL(local.labels) == toMapLL(dist.labels))
+    assert(local.iterations == dist.iterations)
+  }
+
   test("closed-form singleton modularity == generic path on v->v") {
     import graft.algo.Quality
     import graft.graph.EdgeOps
