@@ -111,6 +111,32 @@ class FastPathEquivalenceSpec extends SparkSpecBase {
     assert(local.iterations == dist.iterations)
   }
 
+  test("LPA local path: explicit universe with isolated vertices and " +
+      "out-of-universe edges == distributed") {
+    import graft.algo.LabelPropagation
+    val s = spark
+    import s.implicits._
+    // universe 0..9; vertex 9 isolated; edge (3, 50) leaves the universe
+    val g = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (4L, 5L, 1.0),
+      (3L, 50L, 5.0), (2L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val universe = (0L to 9L).toDF("v")
+    val local = LabelPropagation.run(g, vertices = Some(universe),
+      maxIter = 10, localSolveVerts = 100)
+    val dist = LabelPropagation.run(g, vertices = Some(universe),
+      maxIter = 10)
+    assert(toMapLL(local.labels) == toMapLL(dist.labels))
+    // isolated vertex keeps its own label in both
+    assert(toMapLL(local.labels)(9L) == 9L)
+  }
+
+  test("LPA local path: empty graph") {
+    import graft.algo.LabelPropagation
+    val g = edges()
+    val r = LabelPropagation.run(g, maxIter = 10, localSolveVerts = 100)
+    assert(r.labels.count() == 0)
+    assert(r.iterations == 0)
+  }
+
   test("closed-form singleton modularity == generic path on v->v") {
     import graft.algo.Quality
     import graft.graph.EdgeOps
