@@ -28,11 +28,15 @@ object IncAggregation {
     * @param sPre  (v, sc) previous subcommunity mapping
     * @param sCur  (v, sc) current subcommunity mapping
     * @param refined (v) the R set
+    * @param materialize checkpoint deltaH before returning (default).
+    *   A caller that immediately collects deltaH (the warm mirror path)
+    *   passes false so the delta join pipeline is evaluated ONCE — by
+    *   its own collect — instead of ckpt + collect.
     * @return (deltaH canonical signed edges, sPre' updated mapping)
     */
   def apply(adj: DataFrame, delta: DataFrame, sPre: DataFrame,
       sCur: DataFrame, refined: DataFrame,
-      eps: Double = 1e-9): (DataFrame, DataFrame) = {
+      eps: Double = 1e-9, materialize: Boolean = true): (DataFrame, DataFrame) = {
 
     val preSrc = sPre.select(col("v").as("src"), col("sc").as("preU"))
     val preDst = sPre.select(col("v").as("dst"), col("sc").as("preN"))
@@ -81,9 +85,10 @@ object IncAggregation {
       col("weight"))
 
     // 3. compress (lines 533-546) — EdgeOps.compress is exactly it
-    val deltaH = EdgeOps.compress(
+    val deltaH0 = EdgeOps.compress(
       deltaMapped.unionAll(negEdges).unionAll(posEdges)
-        .unionAll(negLoops).unionAll(posLoops), eps).ckpt
+        .unionAll(negLoops).unionAll(posLoops), eps)
+    val deltaH = if (materialize) deltaH0.ckpt else deltaH0
 
     // 4. sPre' = sPre overridden by sCur on R (lines 527-531). Returned
     // LAZY: when R = {v: sCur != sPre} (the live-path contract) this

@@ -630,7 +630,25 @@ object Incremental {
       .join(sPre0.withColumnRenamed("sc", "scPre"), "v")
       .where(col("subcomm") =!= col("scPre"))
       .select("v").ckpt
-    val (deltaH, _) = IncAggregation(adj, deltaC, sPre0, sCur, refR, cfg.eps)
+    // the warm mirror/hierarchy path collects the delta-sized deltaH
+    // anyway — evaluate the delta join pipeline ONCE via that collect
+    // (materialize=false) and hand downstream consumers a local relation;
+    // the fallback path (nothing maintained) keeps the ckpt'd DataFrame
+    val willCollect = state.superCache.isDefined ||
+      state.hierCache.isDefined || state.upper.isDefined
+    val (deltaH0, _) = IncAggregation(adj, deltaC, sPre0, sCur, refR,
+      cfg.eps, materialize = !willCollect)
+    val dRows: Array[(Long, Long, Double)] =
+      if (willCollect)
+        deltaH0.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      else null
+    val deltaH =
+      if (willCollect) {
+        val sp = adj.sparkSession
+        import sp.implicits._
+        dRows.toSeq.toDF("src", "dst", "weight")
+      } else deltaH0
     // the mirror path never SCANS superCanon (the sorted-array mirror is
     // the live level-1 graph), so the O(E_1) materialization runs on the
     // deg-overlay cadence instead of every batch; between flattens the
@@ -638,14 +656,6 @@ object Incremental {
     // 4 deep, and fallback/resume/checkpoint consumers evaluate it as-is
     val newSuper0 = EdgeOps.mergeDelta(state.superCanon, deltaH, cfg.eps)
     val newSuper = if (state.epoch % 4 == 3) newSuper0.ckpt else newSuper0
-    // collect the (checkpointed, delta-sized) supergraph delta ONCE — it
-    // feeds both the sorted-array mirror and the maintained hierarchy
-    val dRows: Array[(Long, Long, Double)] =
-      if (state.superCache.isDefined || state.hierCache.isDefined ||
-          state.upper.isDefined)
-        deltaH.collect().map(r =>
-          (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      else null
     // maintain the driver-side mirror with the SAME signed delta — a
     // fallback re-solve then skips its multi-million-row re-collect
     val mergedCache = state.superCache.map(mergeSuperArrays(_, dRows,
