@@ -938,6 +938,7 @@ object Leiden {
     var frontierN = frontier.length.toLong
     var bail = false
     var bailFull = false
+    var prefetched = false
     val gainFloor =
       if (cfg.useCpm) cfg.minSweepGain * (m2 / 2.0) else cfg.minSweepGain
     val wBy = mutable.LongMap.empty[Double]
@@ -945,6 +946,23 @@ object Leiden {
     while (frontierN > 0 && sweep < cfg.maxSweeps && !bail) {
       val t0 = System.nanoTime()
       gatherNew(frontier.filterNot(adjL.contains))
+      if (!prefetched) {
+        prefetched = true
+        // one-shot 1-hop prefetch: later sweeps' frontiers are (mostly)
+        // neighbors of this one, and after the first gather every
+        // neighbor's EXACT degree is known driver-side — load their
+        // adjacency in ONE action, byte-budget-gated, so subsequent
+        // sweeps usually find adjL populated and pay zero Spark jobs.
+        // A frontier that escapes the prefetched set still gathers
+        // lazily above — this is purely an optimization.
+        val cand = degM.keysIterator.filterNot(adjL.contains).toArray
+        var pSum = 0.0
+        cand.foreach(pSum += degM(_))
+        // ~64 B per gathered adjacency row (ids + weight + attrs)
+        if (cand.nonEmpty &&
+            graft.util.Bcast.fits(pSum.toLong, bytesPerRow = 64))
+          gatherNew(cand)
+      }
 
       // barrier semantics: compute every wanted move against the
       // sweep-start snapshot, then apply
