@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Durable per-run test reports (VERDICT r5 ask #1: the one failing test
+// name of the round-5 flake was lost because sbt's JUnit XML was
+// overwritten by the next run): each `sbt test` invocation writes its
+// JUnit XML under a fresh timestamped dir in target/test-runs/.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-u",
+  s"target/test-runs/junit-${new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+    .format(new java.util.Date)}")
 run / fork := true
 // forked-run stdout passes through unprefixed (no "[info] ") so the
 // driver can parse Bench's one-line JSON from the last stdout line

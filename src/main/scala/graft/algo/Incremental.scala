@@ -498,6 +498,17 @@ object Incremental {
     val state =
       if (!replayed) hydrate(state0, cfg.eps)
       else {
+        // EXACTNESS CONTRACT (ADVICE r5): this signed un-merge is exact
+        // only for integer-valued weights below 2^53 — (w + d) - d == w
+        // holds exactly for integers in double, so the reconstructed
+        // pre-state (and hence the replayed Outcome) is bit-identical to
+        // the pre-crash batch. With fractional weights the un-merge can
+        // be off by an ulp and reordered float sums can flip gain ties:
+        // the replay would still be a VALID solve of the same graph, but
+        // not guaranteed identical to what the store recorded. Every
+        // ingest path in this engine produces multiplicity (integer)
+        // weights; a future fractional-weight source must either disable
+        // durable replay or reconcile against the stored assignment.
         val negDelta = deltaC.select(col(EdgeOps.SRC), col(EdgeOps.DST),
           negate(col(EdgeOps.W)).as(EdgeOps.W))
         val preCanon = EdgeOps.mergeDelta(state0.canon, negDelta, cfg.eps)

@@ -153,13 +153,24 @@ object Leiden {
     * @param modularity final quality at gamma: modularity, or CPM when
     *   cfg.useCpm (real scoring — the reference emits a placeholder 1.0,
     *   hit_leiden.rs:69-75)
+    * @param canon the materialized (ckpt'd) level-0 canonical edge table
+    *   run() already built — exposed so callers scoring baselines
+    *   (q_leiden's singleton self-check) don't pay a second full
+    *   compress of the input
+    * @param singletonQ the all-singleton modularity baseline, computed
+    *   for free (driver arithmetic over the already-collected edges)
+    *   when the level-0 local-solve path ran with modularity quality;
+    *   None otherwise — callers fall back to
+    *   Quality.singletonModularity(canon)
     */
   final case class Result(
       assignment: DataFrame,
       levels: Int,
       modularity: Double,
       communityCount: Long,
-      sweepsPerLevel: Seq[Int])
+      sweepsPerLevel: Seq[Int],
+      canon: DataFrame = null,
+      singletonQ: Option[Double] = None)
 
   // ---------------------------------------------------------------------
   // cold start: full Leiden on an edge table
@@ -180,7 +191,7 @@ object Leiden {
     val m2 = 2.0 * m
     if (m2 == 0.0) {
       val empty = EdgeOps.vertices(canon0).withColumn("community", col("v"))
-      return Result(empty, 0, 0.0, empty.count(), Nil)
+      return Result(empty, 0, 0.0, empty.count(), Nil, canon0, Some(0.0))
     }
 
     var canon = canon0
@@ -197,6 +208,11 @@ object Leiden {
     var sweeps = Vector.empty[Int]
     var level = 0
     var done = false
+    // level-0 local-solve capture: the collected edges + the solved map
+    // make quality scoring and the community count pure driver
+    // arithmetic (no extra Spark jobs) — see the tail of this method
+    var level0Es: Array[(Long, Long, Double)] = null
+    var level0Map: Map[Long, Long] = null
 
     while (!done && level < cfg.maxLevels) {
       // top-of-hierarchy local solve: once the (super)graph is small the
@@ -208,11 +224,21 @@ object Leiden {
       // opted-in case (tiny graph) saves a fixed-cost Spark action —
       // a failed vertex check just discards the bounded array and
       // falls through to the distributed level.
+      val nCanonEdges =
+        if (cfg.localSolveEdges > 0) canon.count() else Long.MaxValue
       val edgeGate = cfg.localSolveEdges > 0 &&
-        canon.count() <= cfg.localSolveEdges &&
+        nCanonEdges <= cfg.localSolveEdges &&
         (level >= cfg.localSolveMinLevel || cfg.localSolveLevel0Verts > 0)
+      // level-0 vertex-bound opt-in on a LARGE edge table: pre-check the
+      // vertex count with a cheap distributed distinct count instead of
+      // collecting millions of boxed tuples only to discard them when
+      // the vertex bound fails (a graph near localSolveEdges that fails
+      // level0Verts would otherwise pay the full driver allocation)
+      val preCheckOk = !edgeGate || level >= cfg.localSolveMinLevel ||
+        nCanonEdges <= math.max(cfg.localSolveLevel0Verts, 1_000_000L) ||
+        EdgeOps.vertices(canon).count() <= cfg.localSolveLevel0Verts
       val esOpt: Option[Array[(Long, Long, Double)]] =
-        if (!edgeGate) None
+        if (!edgeGate || !preCheckOk) None
         else {
           val es = canon.select("src", "dst", "weight").collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -233,6 +259,7 @@ object Leiden {
         val spark = canon.sparkSession
         import spark.implicits._
         topAssign = local.toSeq.toDF("v", "community")
+        if (level == 0) { level0Es = es; level0Map = local }
         done = true
       } else {
       val adj = EdgeOps.partitionBySrc(EdgeOps.symmetrize(canon),
@@ -295,25 +322,77 @@ object Leiden {
     }
 
     // compose s_0 .. s_{L-1} then the top level's community — the batch
-    // form of def_update (hit_leiden.rs:565-599): f_p(v) = f_{p+1}(s_p(v))
-    var composed = mappings.headOption match {
-      case None => topAssign.select(col("v"), col("v").as("cur"))
-      case Some(m0) => m0.select(col("v"), col("subcomm").as("cur"))
+    // form of def_update (hit_leiden.rs:565-599): f_p(v) = f_{p+1}(s_p(v)).
+    // With no mappings (single level) the composition is the identity:
+    // topAssign IS the final assignment — skip the two no-op joins.
+    val finalAssign =
+      if (mappings.isEmpty) topAssign.select(col("v"), col("community"))
+      else {
+        var composed =
+          mappings.head.select(col("v"), col("subcomm").as("cur"))
+        for (p <- 1 until mappings.length) {
+          val mp = mappings(p)
+            .select(col("v").as("cur"), col("subcomm").as("next"))
+          composed = composed.join(mp, "cur")
+            .select(col("v"), col("next").as("cur"))
+        }
+        composed
+          .join(topAssign.select(col("v").as("cur"), col("community")), "cur")
+          .select(col("v"), col("community"))
+          .ckpt
+      }
+
+    if (level0Map != null) {
+      // level-0 local solve: the whole graph and partition are already on
+      // the driver — score quality (and the singleton baseline) with the
+      // exact sums Quality would compute, zero extra Spark jobs. All
+      // sums are exact for the integer-valued multiplicity weights these
+      // graphs carry (order-independent).
+      var wIn = 0.0
+      var wSelf = 0.0
+      val degOf = scala.collection.mutable.HashMap.empty[Long, Double]
+      level0Es.foreach { case (s, d, w) =>
+        if (level0Map(s) == level0Map(d)) wIn += w
+        if (s == d) wSelf += w
+        degOf(s) = degOf.getOrElse(s, 0.0) + w
+        degOf(d) = degOf.getOrElse(d, 0.0) + w
+      }
+      val q =
+        if (cfg.useCpm) {
+          val csize = scala.collection.mutable.HashMap.empty[Long, Long]
+          level0Map.valuesIterator.foreach(c =>
+            csize(c) = csize.getOrElse(c, 0L) + 1L)
+          var pairs = 0.0
+          csize.valuesIterator.foreach(s =>
+            pairs += (s * (s - 1) / 2).toDouble)
+          wIn - cfg.gamma * pairs
+        } else {
+          val cdeg = scala.collection.mutable.HashMap.empty[Long, Double]
+          degOf.foreach { case (v, dv) =>
+            val c = level0Map(v)
+            cdeg(c) = cdeg.getOrElse(c, 0.0) + dv
+          }
+          var sumSq = 0.0
+          cdeg.valuesIterator.foreach(d => sumSq += d * d)
+          wIn / m - cfg.gamma * sumSq / (4.0 * m * m)
+        }
+      val singletonQ =
+        if (cfg.useCpm) None
+        else {
+          var sq = 0.0
+          degOf.valuesIterator.foreach(d => sq += d * d)
+          Some(wSelf / m - cfg.gamma * sq / (4.0 * m * m))
+        }
+      val nComm = level0Map.valuesIterator.toSet.size.toLong
+      return Result(finalAssign, level + 1, q, nComm, sweeps, canon0,
+        singletonQ)
     }
-    for (p <- 1 until mappings.length) {
-      val mp = mappings(p).select(col("v").as("cur"), col("subcomm").as("next"))
-      composed = composed.join(mp, "cur").select(col("v"), col("next").as("cur"))
-    }
-    val finalAssign = composed
-      .join(topAssign.select(col("v").as("cur"), col("community")), "cur")
-      .select(col("v"), col("community"))
-      .ckpt
 
     val q =
       if (cfg.useCpm) Quality.cpm(canon0, finalAssign, cfg.gamma)
       else Quality.modularity(canon0, finalAssign, cfg.gamma)
     val nComm = finalAssign.select("community").distinct().count()
-    Result(finalAssign, level + 1, q, nComm, sweeps)
+    Result(finalAssign, level + 1, q, nComm, sweeps, canon0)
   }
 
   // ---------------------------------------------------------------------
@@ -375,6 +454,16 @@ object Leiden {
         base.join(sz, "v").groupBy(col("community"))
           .agg(sum("deg").as("cdeg"), sum("size").as("csize"))
     }.ckpt
+    // entry-time community count: the driver-local sweep phase collects
+    // the FULL per-community stats table at its entry, so the handoff
+    // below must be gated on that O(C) collect fitting the broadcast
+    // budget too — a small warm frontier over a huge-community-count
+    // graph (the petabyte regime) must stay on the distributed sweeps
+    // instead of OOMing the driver (ADVICE r5 medium). Cheap: one count
+    // of the just-materialized checkpoint.
+    val nCommEntry = commDeg.count()
+    val commStatsFit =
+      graft.util.Bcast.fits(nCommEntry, bytesPerRow = 24)
 
     while (frontierN > 0 && sweep < cfg.maxSweeps) {
       val t0 = System.nanoTime()
@@ -420,7 +509,7 @@ object Leiden {
           .agg(coalesce(sum("deg"), lit(0)).cast("double")).head.getDouble(0)
       val smallGather = estSmall && graft.util.Bcast.fits(
         math.max(frontierDegSum, 0.0).toLong, bytesPerRow = 32)
-      if (smallGather && cfg.localMoveSweeps) {
+      if (smallGather && cfg.localMoveSweeps && commStatsFit) {
         // hand the rest of the phase to the driver-local sweep loop
         // (exact BSP parity; one delta-sized gather action per sweep)
         val lp = localMovePhase(spark, adj, a, aPrev, active, commDeg,
@@ -899,12 +988,17 @@ object Leiden {
       else aByDstFull.join(
         sz.select(col("v").as("dst"), col("size").as("nbrSize")), "dst")
 
+    // vertices known to carry a self-loop: excluded from adjL (self-loops
+    // cancel out of the move gain, as in the distributed gather) but a
+    // moving self-loop carrier IS refinement-affected — the distributed
+    // scPairs join sees the (v,v) adjacency row with scu==scv trivially
+    // and marks v (ADVICE r5 parity fix)
+    val selfLoop = mutable.LongMap.empty[Unit]
     def gatherNew(ids: Array[Long]): Unit = {
       if (ids.isEmpty) return
       val idsDf = ids.toSeq.toDF("src")
       val rows = adj
         .join(broadcast(idsDf), Seq("src"), "left_semi")
-        .where(col("src") =!= col("dst"))
         .join(aByDst, "dst")
         .select("src", "dst", "weight", "nbrComm", "scv", "nbrDeg",
           "nbrSize")
@@ -912,12 +1006,15 @@ object Leiden {
       val bySrc = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Double)]]
       rows.foreach { r =>
         val s = r.getLong(0); val d = r.getLong(1)
-        bySrc.getOrElseUpdate(s, mutable.ArrayBuffer.empty) +=
-          ((d, r.getDouble(2)))
-        if (!comm.contains(d)) comm(d) = r.getLong(3)
-        if (!sc.contains(d)) sc(d) = r.getLong(4)
-        if (!degM.contains(d)) degM(d) = r.getDouble(5)
-        if (!szM.contains(d)) szM(d) = r.getAs[Number](6).doubleValue
+        if (s == d) selfLoop(s) = ()
+        else {
+          bySrc.getOrElseUpdate(s, mutable.ArrayBuffer.empty) +=
+            ((d, r.getDouble(2)))
+          if (!comm.contains(d)) comm(d) = r.getLong(3)
+          if (!sc.contains(d)) sc(d) = r.getLong(4)
+          if (!degM.contains(d)) degM(d) = r.getDouble(5)
+          if (!szM.contains(d)) szM(d) = r.getAs[Number](6).doubleValue
+        }
       }
       ids.foreach { s =>
         adjL(s) = bySrc.get(s).map(_.toArray.sortBy(_._1))
@@ -1045,7 +1142,10 @@ object Leiden {
           deltaRows += ((cur, -dv, -sv)); deltaRows += ((nc, dv, sv))
           changedSet(v) = (); allMoves(v) = nc
           movedNow(v) = cur
-          // K: mover and neighbor sharing a (static) subcommunity
+          // K: mover and neighbor sharing a (static) subcommunity; a
+          // self-loop counts as the mover's own same-subcomm adjacency
+          // row, matching the distributed scPairs join
+          if (selfLoop.contains(v)) affectedSet(v) = ()
           val mySc = sc(v)
           adjL(v).foreach { case (n, _) =>
             if (sc.get(n).contains(mySc)) {

@@ -36,16 +36,58 @@ object PageRank {
     *   vertices present in `edges`.
     * @param numIter fixed iteration count when tol <= 0, else a cap.
     * @param tol L1 convergence threshold (sum |r_t+1 - r_t| < tol stops).
-    */
+    * @param localSolveVerts when > 0, a graph with at most this many
+    *   vertices (and a bounded edge count) is collected and iterated on
+    *   driver CSR arrays — one collect instead of numIter fixed-cost
+    *   supersteps (same adaptive pattern as CC/LPA). Per-vertex sums run
+    *   in deterministic CSR order instead of shuffle-merge order, so
+    *   values can differ from the distributed path in the last float
+    *   ulps — exactly the nondeterminism the distributed path already
+    *   has between its own runs (parity pinned to 1e-12 in
+    *   FastPathEquivalenceSpec). Off by default; tiny-graph callers opt
+    *   in, web-scale graphs fail the bound and stay distributed. */
   def run(
       edges: DataFrame,
       vertices: Option[DataFrame] = None,
       damping: Double = 0.85,
       numIter: Int = 20,
       tol: Double = 0.0,
-      sink: MetricsSink = MetricsSink.discard): Result = {
+      sink: MetricsSink = MetricsSink.discard,
+      localSolveVerts: Long = 0): Result = {
 
     val canon = EdgeOps.compress(edges)
+
+    if (localSolveVerts > 0) {
+      val canonC = canon.ckpt
+      val verts0 = vertices.map(_.select(col("v")).distinct())
+        .getOrElse(EdgeOps.vertices(canonC)).ckpt
+      if (verts0.count() <= localSolveVerts &&
+          canonC.count() <= 10_000_000L) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val vs = verts0.collect().map(_.getLong(0))
+        val inVs = vs.toSet
+        val es = canonC.select("src", "dst", "weight").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .filter(e => inVs(e._1) && inVs(e._2))
+        val (ranks, its) = localPageRank(vs, es, damping, numIter, tol, sink)
+        return Result(
+          vs.indices.map(i => (vs(i), ranks(i))).toDF("v", "rank"), its)
+      }
+      // bound failed: reuse the materialized canon below
+      return runDistributed(canonC, vertices, damping, numIter, tol, sink)
+    }
+    runDistributed(canon, vertices, damping, numIter, tol, sink)
+  }
+
+  private def runDistributed(
+      canon: DataFrame,
+      vertices: Option[DataFrame],
+      damping: Double,
+      numIter: Int,
+      tol: Double,
+      sink: MetricsSink): Result = {
+
     val adj = EdgeOps.symmetrize(canon)
       .ckpt
     val verts = vertices.getOrElse(EdgeOps.vertices(canon)).select(col("v"))
@@ -59,7 +101,7 @@ object PageRank {
     // iterations) and pre-partition it by the join key: the checkpointed
     // partitioning is reused every superstep, so only the small ranks
     // table is shuffled per iteration, never the edge table
-    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = canon.sparkSession.sessionState.conf.numShufflePartitions
     val shares = adj.join(wdeg, adj("src") === wdeg("v"))
       .select(col("src"), col("dst"), (col("weight") / col("deg")).as("share"))
       .repartition(parts, col("src"))
@@ -105,5 +147,94 @@ object PageRank {
       if (tol > 0.0 && delta >= 0.0 && delta < tol) converged = true
     }
     Result(ranks, it)
+  }
+
+  /** Driver-side mirror of the distributed superstep: symmetrized CSR
+    * with per-edge shares w/wdeg(src), dangling mass spread uniformly,
+    * r' = (1-d)/n + d*(gathered + dMass/n). Same semantics as
+    * runDistributed (see run() scaladoc for the float-order caveat).
+    * Returns ranks indexed as `vs` plus the iteration count. */
+  private[graft] def localPageRank(
+      vs: Array[Long],
+      es: Array[(Long, Long, Double)],
+      damping: Double,
+      numIter: Int,
+      tol: Double,
+      sink: MetricsSink): (Array[Double], Int) = {
+    val n = vs.length
+    if (n == 0) return (Array.empty, 0)
+    // dense index = position in the caller's vs order
+    val posOf = new java.util.HashMap[Long, Int](n * 2)
+    vs.indices.foreach(i => posOf.put(vs(i), i))
+    def idx(v: Long): Int = posOf.get(v)
+    // directed adjacency = both directions of every canonical edge
+    // (self-loops twice, exactly EdgeOps.symmetrize)
+    val outDeg = new Array[Int](n)
+    es.foreach { case (s, d, _) => outDeg(idx(s)) += 1; outDeg(idx(d)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+    val nbr = new Array[Int](off(n))
+    val ew = new Array[Double](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    es.foreach { case (s, d, w) =>
+      val si = idx(s); val di = idx(d)
+      nbr(fill(si)) = di; ew(fill(si)) = w; fill(si) += 1
+      nbr(fill(di)) = si; ew(fill(di)) = w; fill(di) += 1
+    }
+    // weighted degree = sum of incident weights (self-loop counts 2w);
+    // per-edge share w/wdeg(src) precomputed exactly as the distributed
+    // `shares` projection does, so each edge contributes (w/wdeg)*r with
+    // the same per-edge rounding
+    val wdeg = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      var k = off(i)
+      while (k < off(i + 1)) { wdeg(i) += ew(k); k += 1 }
+      i += 1
+    }
+    val share = new Array[Double](off(n))
+    i = 0
+    while (i < n) {
+      var k = off(i)
+      while (k < off(i + 1)) { share(k) = ew(k) / wdeg(i); k += 1 }
+      i += 1
+    }
+    var ranks = Array.fill(n)(1.0 / n)
+    var it = 0
+    var converged = false
+    while (it < numIter && !converged) {
+      val t0 = System.nanoTime()
+      var dMass = 0.0
+      i = 0
+      while (i < n) { if (off(i) == off(i + 1)) dMass += ranks(i); i += 1 }
+      val mass = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        if (off(i) < off(i + 1)) {
+          val r = ranks(i)
+          var k = off(i)
+          while (k < off(i + 1)) { mass(nbr(k)) += share(k) * r; k += 1 }
+        }
+        i += 1
+      }
+      val next = new Array[Double](n)
+      var delta = 0.0
+      i = 0
+      while (i < n) {
+        next(i) = (1.0 - damping) / n +
+          damping * (mass(i) + dMass / n)
+        delta += math.abs(next(i) - ranks(i))
+        i += 1
+      }
+      sink.add(IterMetric("pagerank", 0, it, messages = -1,
+        movesAccepted = -1, frontier = n.toLong,
+        qualityDelta = if (tol > 0.0) delta else -1.0,
+        seconds = (System.nanoTime() - t0) / 1e9))
+      ranks = next
+      it += 1
+      if (tol > 0.0 && delta < tol) converged = true
+    }
+    (ranks, it)
   }
 }

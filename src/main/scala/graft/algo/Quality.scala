@@ -25,9 +25,31 @@ object Quality {
 
   /** @param canonical canonical undirected edge table (src<=dst, merged)
     * @param assign (v, community)
+    * @param localSolveEdges when > 0 and the canonical table has at most
+    *   this many rows, both inputs are collected and the three sums run
+    *   on the driver — one collect instead of three join+agg jobs. The
+    *   value is identical for integer-valued weights (exact sums in any
+    *   order — the compressed-multiplicity graphs every caller scores);
+    *   fractional weights could differ in the last ulp, same as the
+    *   distributed path's own shuffle-order nondeterminism. Off by
+    *   default; tiny-graph callers opt in.
     */
   def modularity(canonical: DataFrame, assign: DataFrame,
-      gamma: Double = 1.0): Double = {
+      gamma: Double = 1.0, localSolveEdges: Long = 0): Double = {
+    localParts(canonical, assign, localSolveEdges) match {
+      case Some(p) =>
+        if (p.m == 0.0) return 0.0
+        // cdeg[c] = sum of member degrees; sumSq = sum cdeg^2
+        val cdeg = scala.collection.mutable.HashMap.empty[Long, Double]
+        p.degOf.foreach { case (v, d) =>
+          val c = p.commOf(v)
+          cdeg(c) = cdeg.getOrElse(c, 0.0) + d
+        }
+        var sumSq = 0.0
+        cdeg.valuesIterator.foreach(d => sumSq += d * d)
+        return p.wIn / p.m - gamma * sumSq / (4.0 * p.m * p.m)
+      case None =>
+    }
     val m = EdgeOps.totalWeight(canonical)
     if (m == 0.0) return 0.0
     val a = assign.select(col("v"), col("community"))
@@ -61,9 +83,22 @@ object Quality {
     wSelf / m - gamma * sumSq / (4.0 * m * m)
   }
 
-  /** Constant Potts Model quality (unnormalized, standard form). */
+  /** Constant Potts Model quality (unnormalized, standard form).
+    * `localSolveEdges`: same adaptive driver-side path as [[modularity]]. */
   def cpm(canonical: DataFrame, assign: DataFrame,
-      gamma: Double = 1.0): Double = {
+      gamma: Double = 1.0, localSolveEdges: Long = 0): Double = {
+    localParts(canonical, assign, localSolveEdges) match {
+      case Some(p) =>
+        val csize = scala.collection.mutable.HashMap.empty[Long, Long]
+        p.commOf.valuesIterator.foreach(c =>
+          csize(c) = csize.getOrElse(c, 0L) + 1L)
+        var pairs = 0.0
+        // n*(n-1)/2 over longs: n(n-1) is even, so the integer division
+        // is the exact binomial (matches the SQL BIGINT arithmetic)
+        csize.valuesIterator.foreach(s => pairs += (s * (s - 1) / 2).toDouble)
+        return p.wIn - gamma * pairs
+      case None =>
+    }
     val a = assign.select(col("v"), col("community"))
     val wIn = intraWeight(canonical, a)
     val sizesRow = a.groupBy("community").agg(count(lit(1)).as("n"))
@@ -75,6 +110,42 @@ object Quality {
         case l: java.lang.Long => l.doubleValue()
       }
     wIn - gamma * pairs
+  }
+
+  private final case class LocalParts(m: Double, wIn: Double,
+      degOf: scala.collection.mutable.HashMap[Long, Double],
+      commOf: scala.collection.mutable.HashMap[Long, Long])
+
+  /** Collect-and-sum core for the local paths: when the gate admits the
+    * canonical table, returns m, wIn, degOf(v) = weighted degree over
+    * the symmetrized view (self-loop counts 2w) restricted to assigned
+    * vertices, and commOf = the assignment. Mirrors the distributed
+    * inner-join semantics: edges with an unassigned endpoint don't count
+    * in wIn; unassigned vertices carry no degree row. */
+  private def localParts(canonical: DataFrame, assign: DataFrame,
+      localSolveEdges: Long): Option[LocalParts] = {
+    if (localSolveEdges <= 0) return None
+    // callers opting in pass an already-materialized (ckpt'd) canonical
+    // table, so the count gate and the collect below are both cheap reads
+    val canonC = canonical
+    if (canonC.count() > localSolveEdges) return None
+    val commOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    assign.select(col("v"), col("community")).collect()
+      .foreach(r => commOf.put(r.getLong(0), r.getLong(1)))
+    val es = canonC.select(col("src"), col("dst"), col("weight")).collect()
+    var m = 0.0
+    var wIn = 0.0
+    val degOf = scala.collection.mutable.HashMap.empty[Long, Double]
+    es.foreach { r =>
+      val s = r.getLong(0); val d = r.getLong(1); val w = r.getDouble(2)
+      m += w
+      val cs = commOf.get(s); val cd = commOf.get(d)
+      if (cs.isDefined && cd.isDefined && cs.get == cd.get) wIn += w
+      // symmetrized degree: w at each endpoint (self-loop twice)
+      if (cs.isDefined) degOf(s) = degOf.getOrElse(s, 0.0) + w
+      if (cd.isDefined) degOf(d) = degOf.getOrElse(d, 0.0) + w
+    }
+    Some(LocalParts(m, wIn, degOf, commOf))
   }
 
   private def intraWeight(canonical: DataFrame, assign: DataFrame): Double = {

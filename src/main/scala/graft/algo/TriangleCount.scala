@@ -24,8 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object TriangleCount {
 
-  /** Total triangle count in the graph. */
-  def total(edges: DataFrame): Long = {
+  /** Total triangle count in the graph.
+    * @param localSolveVerts when > 0, a graph with at most this many
+    *   vertices (and a bounded simple-edge count) is collected and
+    *   counted on driver bitsets — exact integer arithmetic, identical
+    *   count, one collect instead of the multi-stage closing pipeline
+    *   (same adaptive pattern as CC/LPA/PageRank). Off by default. */
+  def total(edges: DataFrame, localSolveVerts: Long = 0): Long = {
+    localCounts(edges, localSolveVerts) match {
+      case Some((total, _, _)) => return total
+      case None =>
+    }
     val r = closing(edges).select(size(col("cs")).cast("long").as("n"))
       .agg(sum("n")).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -38,7 +47,14 @@ object TriangleCount {
     * |cs| (they sit in every triangle the edge closes), each c in cs
     * gains 1 — so every triangle credits exactly its three vertices.
     */
-  def perVertex(edges: DataFrame): DataFrame = {
+  def perVertex(edges: DataFrame, localSolveVerts: Long = 0): DataFrame = {
+    localCounts(edges, localSolveVerts) match {
+      case Some((_, vs, perV)) =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return vs.indices.map(i => (vs(i), perV(i))).toDF("v", "triangles")
+      case None =>
+    }
     val verts = graft.graph.EdgeOps.vertices(edges)
     val cl = closing(edges)
     val credits = cl
@@ -49,6 +65,79 @@ object TriangleCount {
     val perV = credits.groupBy("v").agg(sum("n").as("triangles"))
     verts.join(perV, Seq("v"), "left")
       .select(col("v"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Driver-side exact count over the simple graph: canonical distinct
+    * edges collected, (deg, id)-oriented out-neighbor bitsets, each edge
+    * (u, w) closes |N+(u) /\ N+(w)| triangles — the identical counting
+    * scheme as [[closing]], pure integer arithmetic, so total and
+    * per-vertex credits are exactly equal to the distributed path's.
+    * Returns (total, vertex universe in EdgeOps.vertices order,
+    * per-vertex counts) when the gate admits the graph, else None. */
+  private def localCounts(edges: DataFrame,
+      localSolveVerts: Long): Option[(Long, Array[Long], Array[Long])] = {
+    if (localSolveVerts <= 0) return None
+    import graft.util.Ckpt._
+    val simple = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .ckpt
+    // the full universe (incl. self-loop-only vertices) for perVertex
+    val verts = graft.graph.EdgeOps.vertices(edges).ckpt
+    val nV = verts.count()
+    if (nV > localSolveVerts || simple.count() > 10_000_000L) return None
+    val vs = verts.collect().map(_.getLong(0))
+    val es = simple.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = vs.length
+    val posOf = new java.util.HashMap[Long, Int](n * 2)
+    vs.indices.foreach(i => posOf.put(vs(i), i))
+    val deg = new Array[Int](n)
+    es.foreach { case (u, w) =>
+      deg(posOf.get(u)) += 1; deg(posOf.get(w)) += 1
+    }
+    // orient u -> w iff (deg(u), u) < (deg(w), w); out-bitsets bounded by
+    // the orientation's O(sqrt(E)) out-degree cap
+    val words = (n + 63) >> 6
+    val out = new Array[Array[Long]](n)
+    def bits(i: Int): Array[Long] = {
+      if (out(i) == null) out(i) = new Array[Long](words)
+      out(i)
+    }
+    def lt(a: Int, b: Int): Boolean =
+      deg(a) < deg(b) || (deg(a) == deg(b) && vs(a) < vs(b))
+    es.foreach { case (uu, ww) =>
+      val a = posOf.get(uu); val b = posOf.get(ww)
+      val (u, w) = if (lt(a, b)) (a, b) else (b, a)
+      bits(u)(w >> 6) |= 1L << (w & 63)
+    }
+    var total = 0L
+    val perV = new Array[Long](n)
+    es.foreach { case (uu, ww) =>
+      val a = posOf.get(uu); val b = posOf.get(ww)
+      val (u, w) = if (lt(a, b)) (a, b) else (b, a)
+      val bu = out(u); val bw = out(w)
+      if (bu != null && bw != null) {
+        var k = 0
+        var cnt = 0L
+        while (k < words) {
+          var inter = bu(k) & bw(k)
+          if (inter != 0L) {
+            cnt += java.lang.Long.bitCount(inter)
+            // credit each closing vertex c
+            while (inter != 0L) {
+              val c = (k << 6) + java.lang.Long.numberOfTrailingZeros(inter)
+              perV(c) += 1
+              inter &= inter - 1
+            }
+          }
+          k += 1
+        }
+        if (cnt > 0) { total += cnt; perV(u) += cnt; perV(w) += cnt }
+      }
+    }
+    Some((total, vs, perV))
   }
 
   /** For each oriented edge (u, w): cs = N+(u) /\ N+(w), the vertices

@@ -56,9 +56,9 @@ object Ann {
     // .DotProduct); same accumulation order as dotN, bit-identical
     val ss = queries.sparkSession
     def nrm(c: Column) = if (dim > 0)
-      sqrt(graft.functions.VectorExprs.dotFast(ss, c, c)) else norm(c)
+      sqrt(graft.functions.VectorExprs.dotFast(ss, c, c, dim)) else norm(c)
     def dp(a: Column, b: Column) =
-      if (dim > 0) graft.functions.VectorExprs.dotFast(ss, a, b)
+      if (dim > 0) graft.functions.VectorExprs.dotFast(ss, a, b, dim)
       else dot(a, b)
     // broadcast the small QUERY side (the brute-force contract) and
     // spread the corpus — a small parquet corpus otherwise arrives as one
@@ -171,7 +171,7 @@ object Ann {
         (if (compactSig) rhpSignatureCompact(col("vec"), dim, planes, seed)
          else rhpSignature(col("vec"), dim, planes, seed)).as("sig"))
         .withColumn(nName, sqrt(graft.functions.VectorExprs.dotFast(
-          df.sparkSession, col(vecName), col(vecName))))
+          df.sparkSession, col(vecName), col(vecName), dim)))
         .select(col(idName), col(vecName), col(nName),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
@@ -186,7 +186,7 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (graft.functions.VectorExprs.dotFast(queries.sparkSession,
-          col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+          col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("cos"))
       .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

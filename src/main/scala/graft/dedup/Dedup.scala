@@ -27,29 +27,45 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
 
-  /** (id, shingle_hash) pairs: word w-shingles hashed to 64 bits. */
-  def shingles(docs: DataFrame, textCol: String, idCol: String,
-      w: Int = 3): DataFrame = {
-    val tokens = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+  /** The DISTINCT word-w-shingle hash set of one document as a per-row
+    * array column — the same 64-bit grams [[shingles]] emits, deduped
+    * with array_distinct instead of a distinct() shuffle (identical set:
+    * distinct() on (id, shingle) dedups within each id). One projection,
+    * no shuffle — the whole shingle pipeline stays inside the scan. */
+  def shingleSet(textCol: Column, w: Int = 3): Column = {
+    val tokens = filter(split(textCol, "\\s+"), t => length(t) > 0)
     val n = greatest(size(tokens) - (w - 1), lit(1))
-    val grams = transform(sequence(lit(0), n - 1),
-      i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(w)))))
-    docs.select(col(idCol).as("id"), explode(grams).as("shingle"))
-      .distinct()
+    array_distinct(transform(sequence(lit(0), n - 1),
+      i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(w))))))
   }
 
+  /** (id, shingle_hash) pairs: word w-shingles hashed to 64 bits. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(shingleSet(col(textCol), w)).as("shingle"))
+
   /** MinHash signatures: H permutations via seeded rehash of the shingle.
-    * Output: (id, sig ARRAY<BIGINT> length numHashes). */
+    * Output: (id, sig ARRAY<BIGINT> length numHashes).
+    *
+    * Computed per ROW (sig[i] = array_min over the shingle set of
+    * xxhash64(shingle, lit(i))) — two stacked projections over the scan,
+    * zero shuffles, instead of explode + distinct + an H-min-aggregate
+    * shuffle. Values identical: min over the distinct set equals the
+    * grouped min over exploded distinct rows, with the same IntegerType
+    * literal seed. The shingle array is built in its own projection and
+    * referenced numHashes times by the second — CollapseProject keeps a
+    * multiply-referenced non-trivial expression un-inlined, so the
+    * tokenize+hash+dedup work runs once per document, not per hash
+    * (checked in the captured plan, plans/r06/q_minhash_lsh_after.txt). */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64,
-      shingleWidth: Int = 3): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, shingleWidth)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*)
+      shingleWidth: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      shingleSet(col(textCol), shingleWidth).as("sh"))
+      .select(col("id"), array((0 until numHashes).map(i =>
+        array_min(transform(col("sh"), s => xxhash64(s, lit(i))))): _*)
         .as("sig"))
-  }
 
   /** LSH candidate pairs: band the signature, bucket-join, estimate
     * jaccard = matching minhash fraction. Output:
@@ -157,9 +173,10 @@ object Dedup {
     // bit-identical values (CORRECTNESS gate pins it vs the SQL oracle)
     val ss = emb.sparkSession
     def nrm(c: Column) = if (dim > 0)
-      sqrt(graft.functions.VectorExprs.dotFast(ss, c, c)) else Ann.norm(c)
+      sqrt(graft.functions.VectorExprs.dotFast(ss, c, c, dim))
+      else Ann.norm(c)
     def dp(x: Column, y: Column) =
-      if (dim > 0) graft.functions.VectorExprs.dotFast(ss, x, y)
+      if (dim > 0) graft.functions.VectorExprs.dotFast(ss, x, y, dim)
       else Ann.dot(x, y)
     // a small parquet source arrives as ONE partition; without the
     // repartition the whole O(n^2) pair evaluation runs in a single task.
@@ -208,30 +225,35 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.functions.VectorExprs.dotFast(emb.sparkSession,
-          col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+          col("va"), col("vb"), dim) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= minCos) // filter BEFORE the dedup shuffle
       .distinct()
   }
 
   /** Exact n-gram (word w-shingle) Jaccard for given candidate pairs
-    * (id_a, id_b). One join per side plus a set-intersection groupBy. */
+    * (id_a, id_b): each side's DISTINCT shingle set rides as a per-doc
+    * array, intersection/union are per-pair array ops — two joins total,
+    * no exploded-shingle shuffle and no per-pair groupBy. Counts are the
+    * same integers the exploded set-intersection form produced
+    * (array_intersect over two deduped arrays = the distinct-match
+    * count), so values are identical. Payload note: each pair carries
+    * its two shingle arrays once — same bytes the exploded join moved,
+    * in 1 row instead of |shingles| rows. */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       w: Int = 1): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, w).localCheckpoint(true)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val shB = sh.select(col("id").as("id_b"), col("shingle"))
-    val interCount = pairs
-      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(shB, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .join(interCount, Seq("id_a", "id_b"), "left")
+    val sh = docs.select(col(idCol).as("id"),
+      shingleSet(col(textCol), w).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"),
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))), 6)
-          .as("jaccard"))
+        size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
   }
 }

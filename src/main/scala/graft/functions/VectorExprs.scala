@@ -27,7 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the same shape over bit words). No UDFs: this is a first-class
   * Expression with `doGenCode`, visible to whole-stage codegen.
   */
-case class DotProduct(left: Expression, right: Expression)
+/** @param dim cap on the number of leading elements accumulated
+  *   (Int.MaxValue = full vectors). The ANN/dedup callers pass their
+  *   declared dim so SCORING uses the same dim-prefix the LSH signature
+  *   ([[graft.ann.Ann.rhpSignatureCompact]]) bucketed on — over-length
+  *   vectors previously scored on the full vector while bucketing on
+  *   the prefix (ADVICE r5). Equal-length-dim inputs (the parquet
+  *   embedding columns) are unaffected. */
+case class DotProduct(left: Expression, right: Expression,
+    dim: Int = Int.MaxValue)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -47,7 +55,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = math.min(math.min(x.numElements(), y.numElements()), dim)
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -60,7 +68,8 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = java.lang.Math.min(
+         |  java.lang.Math.min($a.numElements(), $b.numElements()), $dim);
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -78,16 +87,27 @@ object VectorExprs {
 
   /** Register the expression in the session's function registry (idempotent)
     * so plain `call_function` builds it — the public-API route to a custom
-    * Expression without a Column(Expression) constructor. */
+    * Expression without a Column(Expression) constructor. The optional
+    * third argument is the dim cap, passed as a foldable int literal and
+    * evaluated at build time. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NAME,
-      { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) },
+      { exprs: Seq[Expression] =>
+        if (exprs.length >= 3)
+          DotProduct(exprs(0), exprs(1),
+            exprs(2).eval(null).asInstanceOf[Number].intValue())
+        else DotProduct(exprs(0), exprs(1))
+      },
       "built-in")
 
-  /** dot(a,b) — bit-identical to [[graft.ann.Ann.dotN]]'s accumulation. */
-  def dotFast(spark: SparkSession, a: Column, b: Column): Column = {
+  /** dot(a,b) — bit-identical to [[graft.ann.Ann.dotN]]'s accumulation.
+    * `dim > 0` caps the accumulation at the leading dim elements. */
+  def dotFast(spark: SparkSession, a: Column, b: Column,
+      dim: Int = 0): Column = {
     register(spark)
-    call_function(NAME, a, b)
+    if (dim > 0)
+      call_function(NAME, a, b, org.apache.spark.sql.functions.lit(dim))
+    else call_function(NAME, a, b)
   }
 }

@@ -52,7 +52,10 @@ object Queries {
     EdgeOps.compress(lineitemGraph(spark, dir))
 
   def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val n = TriangleCount.total(lineitemGraph(spark, dir))
+    // local fast path bound: 20k verts keeps the driver bitsets <= 50 MB;
+    // the 1,500-vertex derived graph is far under it, web scale is far over
+    val n = TriangleCount.total(lineitemGraph(spark, dir),
+      localSolveVerts = 20000)
     import spark.implicits._
     Seq(n).toDF("triangles")
   }
@@ -62,7 +65,8 @@ object Queries {
       localSolveVerts = 100000).components
 
   def qPagerank(spark: SparkSession, dir: String): DataFrame =
-    PageRank.run(lineitemGraph(spark, dir), numIter = 5, tol = 0.0)
+    PageRank.run(lineitemGraph(spark, dir), numIter = 5, tol = 0.0,
+      localSolveVerts = 100000)
       .ranks.select(col("v"), round(col("rank"), 4).as("rank"))
 
   def qLpa(spark: SparkSession, dir: String): DataFrame =
@@ -93,14 +97,18 @@ object Queries {
     // same canonical table; the singleton baseline has a closed form
     // over one materialized canon — no second full quality pass
     val q = res.modularity
-    val qSingleton =
-      Quality.singletonModularity(EdgeOps.compress(g).ckpt)
+    // run() already materialized the canonical table and (on the local
+    // path) computed the singleton baseline from it — the self-check is
+    // free instead of paying a second full compress of the graph
+    val qSingleton = res.singletonQ
+      .getOrElse(Quality.singletonModularity(res.canon))
     res.assignment.withColumn("quality_ok",
       lit(q > qSingleton && q > 0.0))
   }
 
   def qTrianglesPerVertex(spark: SparkSession, dir: String): DataFrame =
-    TriangleCount.perVertex(lineitemGraph(spark, dir))
+    TriangleCount.perVertex(lineitemGraph(spark, dir),
+      localSolveVerts = 20000)
 
   /** Modularity of the connected-components partition — oracle-verifiable
     * quality scoring (two aggregations over exact-integer sums, so the
@@ -108,11 +116,14 @@ object Queries {
   def qModularity(spark: SparkSession, dir: String): DataFrame = {
     import graft.util.Ckpt._
     val g = lineitemGraph(spark, dir)
-    val canon = EdgeOps.compress(g).ckpt // 3 actions in modularity()
-    val assign = ConnectedComponents.run(g, localSolveVerts = 100000)
+    val canon = EdgeOps.compress(g).ckpt
+    // CC over the materialized canon (identical simple graph — weights
+    // are ignored and lineitemGraph has no self-loops) so the lineitem
+    // scan+shuffle isn't paid twice; quality sums run on the driver
+    val assign = ConnectedComponents.run(canon, localSolveVerts = 100000)
       .components
       .select(col("v"), col("component").as("community"))
-    val q = Quality.modularity(canon, assign)
+    val q = Quality.modularity(canon, assign, localSolveEdges = 10_000_000L)
     import spark.implicits._
     Seq(q).toDF("q").select(round(col("q"), 6).as("modularity"))
   }
@@ -121,11 +132,12 @@ object Queries {
   def qCpm(spark: SparkSession, dir: String): DataFrame = {
     import graft.util.Ckpt._
     val g = lineitemGraph(spark, dir)
-    val canon = EdgeOps.compress(g).ckpt // 2 actions in cpm()
-    val assign = ConnectedComponents.run(g, localSolveVerts = 100000)
+    val canon = EdgeOps.compress(g).ckpt
+    // same canon-reuse + driver-side quality sums as qModularity
+    val assign = ConnectedComponents.run(canon, localSolveVerts = 100000)
       .components
       .select(col("v"), col("component").as("community"))
-    val q = Quality.cpm(canon, assign)
+    val q = Quality.cpm(canon, assign, localSolveEdges = 10_000_000L)
     import spark.implicits._
     Seq(q).toDF("q").select(round(col("q"), 6).as("cpm"))
   }

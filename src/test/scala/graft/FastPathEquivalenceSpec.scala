@@ -152,6 +152,117 @@ class FastPathEquivalenceSpec extends SparkSpecBase {
     assert(math.abs(generic - closed) <= 1e-12, s"$generic vs $closed")
   }
 
+  test("PageRank local CSR path == distributed path (1e-12, and exactly " +
+      "equal after the callers' 4-dp rounding)") {
+    import graft.algo.PageRank
+    // duplicate edges so compress yields weights > 1; plus an explicit
+    // universe with an isolated (dangling) vertex
+    val s = spark
+    import s.implicits._
+    val g = randGraph(120, 500, seed = 3L)
+      .union(randGraph(120, 200, seed = 3L))
+    val universe = (0L until 125L).toDF("v")
+    val local = toMapLD(PageRank.run(g, vertices = Some(universe),
+      numIter = 8, localSolveVerts = 100000).ranks)
+    val dist = toMapLD(PageRank.run(g, vertices = Some(universe),
+      numIter = 8).ranks)
+    assert(local.keySet == dist.keySet)
+    for ((v, r) <- local) {
+      assert(math.abs(r - dist(v)) < 1e-12, s"v=$v $r vs ${dist(v)}")
+      assert(math.round(r * 1e4) == math.round(dist(v) * 1e4), s"v=$v")
+    }
+    // sums to 1 on the local path too
+    assert(math.abs(local.values.sum - 1.0) < 1e-9)
+  }
+
+  test("triangle local bitset path == distributed closing path") {
+    val g = randGraph(90, 700, seed = 13L)
+    val distTotal = TriangleCount.total(g)
+    val localTotal = TriangleCount.total(g, localSolveVerts = 100000)
+    assert(distTotal == localTotal)
+    assert(distTotal > 0, "degenerate test graph")
+    val distPv = toMapLL(TriangleCount.perVertex(g))
+    val localPv = toMapLL(TriangleCount.perVertex(g,
+      localSolveVerts = 100000))
+    assert(distPv == localPv)
+  }
+
+  test("quality local collect path == distributed aggregation path") {
+    import graft.algo.{ConnectedComponents, Quality}
+    import graft.graph.EdgeOps
+    import graft.util.Ckpt._
+    val g = randGraph(100, 400, seed = 17L)
+      .union(randGraph(100, 150, seed = 17L)) // multiplicity weights
+    val canon = EdgeOps.compress(g).ckpt
+    val assign = ConnectedComponents.run(canon).components
+      .select(col("v"), col("component").as("community"))
+    // integer-valued weights: both paths sum exactly — require equality
+    assert(Quality.modularity(canon, assign) ==
+      Quality.modularity(canon, assign, localSolveEdges = 1000000))
+    assert(Quality.cpm(canon, assign) ==
+      Quality.cpm(canon, assign, localSolveEdges = 1000000))
+  }
+
+  test("Leiden level-0 local solve: driver-side quality/singleton equal " +
+      "the distributed Quality aggregations") {
+    import graft.algo.{Leiden, Quality}
+    val g = randGraph(80, 320, seed = 23L)
+    val r = Leiden.run(g, Leiden.Config(localSolveLevel0Verts = 1000))
+    assert(r.canon != null)
+    val distQ = Quality.modularity(r.canon,
+      r.assignment.select(col("v"), col("community")))
+    assert(r.modularity == distQ, s"${r.modularity} vs $distQ")
+    assert(r.singletonQ.isDefined)
+    val distS = Quality.singletonModularity(r.canon)
+    assert(r.singletonQ.get == distS, s"${r.singletonQ.get} vs $distS")
+  }
+
+  test("array-set jaccard == exploded set-intersection formulation") {
+    import graft.dedup.Dedup
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd aa bb"), (2L, "bb cc dd ee"),
+      (3L, "zz yy xx"), (4L, ""), (5L, "aa bb cc dd aa bb"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.jaccardForPairs(docs, pairs, w = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exploded reference: distinct (id, token-hash) rows, set algebra
+    val sh = Dedup.shingles(docs, "text", "doc_id", w = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = pairs.collect().map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (sh(a), sh(b))
+      val inter = (sa & sb).size
+      val j = inter.toDouble / (sa.size + sb.size - inter)
+      // Spark round() is HALF_UP decimal rounding, not rint
+      (a, b, BigDecimal(j)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("per-row minhash signature == exploded grouped-min signature") {
+    import graft.dedup.Dedup
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "w x y z w"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashSignatures(docs, numHashes = 8, shingleWidth = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // exploded reference, exactly the pre-r6 aggregation
+    val sh = Dedup.shingles(docs, "text", "doc_id", 2)
+    val mins = (0 until 8).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val want = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- got) assert(v == want(k), s"doc $k")
+  }
+
   test("level-0 local-solve vertex gate: over-bound falls back to " +
       "distributed with identical partition") {
     import graft.algo.Leiden

@@ -127,11 +127,21 @@ class InvariantsSpec extends SparkSpecBase {
   test("determinism: identical results across repeated runs") {
     val es = randomGraph(42, 24, 45)
     val g = edges(es: _*)
+    // Leiden: EXACT equality is guaranteed — every sum it compares is
+    // over integer-valued weights (exact in double, order-independent)
     val a = canonicalPartition(toMapLL(Leiden.run(g).assignment))
     val b = canonicalPartition(toMapLL(Leiden.run(g).assignment))
     assert(a == b)
+    // PageRank ranks are true fractions: per-vertex sums merge partial
+    // aggregates in shuffle-fetch ARRIVAL order, which Spark does not
+    // pin, so bit-identity is not guaranteed (the r5 full-suite flake:
+    // block eviction changed recomputation order). Assert allclose at
+    // 1e-12 — far below any rounding the callers apply (4 dp), honest
+    // about what the engine promises.
     val p1 = toMapLD(PageRank.run(g, numIter = 10).ranks)
     val p2 = toMapLD(PageRank.run(g, numIter = 10).ranks)
-    assert(p1 == p2) // bit-identical, same plan + deterministic shuffles
+    assert(p1.keySet == p2.keySet)
+    for ((v, r) <- p1)
+      assert(math.abs(r - p2(v)) < 1e-12, s"v=$v $r vs ${p2(v)}")
   }
 }
