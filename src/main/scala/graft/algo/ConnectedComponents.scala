@@ -50,26 +50,52 @@ object ConnectedComponents {
       .where(col("src") =!= col("dst"))
       .distinct()
       .ckpt
+
+    if (localSolveVerts > 0) {
+      val nEdges = canon.count()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      if (nEdges <= 10_000_000L) vertices match {
+        case None =>
+          // default universe = the canon's own endpoints: derive it from
+          // the (bounded) collect instead of a distinct+ckpt+count+collect
+          // chain; a LARGE edge table pre-checks the vertex bound
+          // distributively before committing the boxed collect
+          val preOk = nEdges <= 1_000_000L ||
+            EdgeOps.vertices(canon).count() <= localSolveVerts
+          if (preOk) {
+            val es = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+            val vSet = new java.util.TreeSet[java.lang.Long]()
+            es.foreach { e => vSet.add(e._1); vSet.add(e._2) }
+            if (vSet.size() <= localSolveVerts) {
+              val vs = new Array[Long](vSet.size())
+              var i = 0
+              val it = vSet.iterator()
+              while (it.hasNext) { vs(i) = it.next(); i += 1 }
+              return Result(LocalLeiden.localComponents(vs, es).toSeq
+                .toDF("v", "component"), 1)
+            }
+          }
+        case Some(vdf) =>
+          val verts0 = vdf.select(col("v")).distinct().ckpt
+          if (verts0.count() <= localSolveVerts) {
+            val vs = verts0.collect().map(_.getLong(0))
+            // restrict edges to the vertex universe: an endpoint outside
+            // `vs` crashed localComponents (negative binarySearch index)
+            // while the distributed path ignores such edges (no label
+            // row to gather) — filtering makes the two paths agree on
+            // degenerate inputs
+            val inVs = vs.toSet
+            val es = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+              .filter(e => inVs(e._1) && inVs(e._2))
+            return Result(LocalLeiden.localComponents(vs, es).toSeq
+              .toDF("v", "component"), 1)
+          }
+      }
+    }
     val verts = vertices.map(_.select(col("v")).distinct())
       .getOrElse(EdgeOps.vertices(canon))
       .ckpt
-
-    if (localSolveVerts > 0 && verts.count() <= localSolveVerts &&
-        canon.count() <= 10_000_000L) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val vs = verts.collect().map(_.getLong(0))
-      // restrict edges to the vertex universe: an endpoint outside `vs`
-      // crashed localComponents (negative binarySearch index) while the
-      // distributed path ignores such edges (no label row to gather) —
-      // filtering here makes the two paths agree on degenerate inputs
-      // instead of enforcing an implicit superset precondition
-      val inVs = vs.toSet
-      val es = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
-        .filter(e => inVs(e._1) && inVs(e._2))
-      return Result(
-        LocalLeiden.localComponents(vs, es).toSeq.toDF("v", "component"), 1)
-    }
 
     // partition the static adjacency by the per-round join key (dst) so
     // each round shuffles only the labels table, not the edges

@@ -46,6 +46,49 @@ object LabelPropagation {
 
     val canon = EdgeOps.compress(edges).where(col("src") =!= col("dst"))
       .ckpt
+
+    if (localSolveVerts > 0) {
+      val nEdges = canon.count()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      if (nEdges <= 10_000_000L) vertices match {
+        case None =>
+          // default universe = the canon's own endpoints: derive it from
+          // the (bounded) collect instead of a distinct+ckpt+count+collect
+          // chain; a LARGE edge table pre-checks the vertex bound
+          // distributively before committing the boxed collect
+          val preOk = nEdges <= 1_000_000L ||
+            EdgeOps.vertices(canon).count() <= localSolveVerts
+          if (preOk) {
+            val es = canon.select("src", "dst", "weight").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            val vSet = new java.util.TreeSet[java.lang.Long]()
+            es.foreach { e => vSet.add(e._1); vSet.add(e._2) }
+            if (vSet.size() <= localSolveVerts) {
+              val vs = new Array[Long](vSet.size())
+              var i = 0
+              val it = vSet.iterator()
+              while (it.hasNext) { vs(i) = it.next(); i += 1 }
+              val (local, its) = localLpa(vs, es, maxIter, sink)
+              return Result(local.toSeq.toDF("v", "label"), its)
+            }
+          }
+        case Some(vdf) =>
+          val verts0 = vdf.select(col("v")).distinct().ckpt
+          if (verts0.count() <= localSolveVerts) {
+            val vs = verts0.collect().map(_.getLong(0))
+            // edges with an endpoint outside the vertex universe
+            // contribute nothing distributed (no label row to gather) —
+            // filter for parity
+            val inVs = vs.toSet
+            val es = canon.select("src", "dst", "weight").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+              .filter(e => inVs(e._1) && inVs(e._2))
+            val (local, its) = localLpa(vs, es, maxIter, sink)
+            return Result(local.toSeq.toDF("v", "label"), its)
+          }
+      }
+    }
     val verts = vertices.map(_.select(col("v")).distinct())
       .getOrElse(EdgeOps.vertices(canon))
       .ckpt
@@ -55,21 +98,6 @@ object LabelPropagation {
     // on the (known) vertex count because at web scale the label table is
     // V-sized and must shuffle.
     val nVerts = verts.count()
-
-    if (localSolveVerts > 0 && nVerts <= localSolveVerts &&
-        canon.count() <= 10_000_000L) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val vs = verts.collect().map(_.getLong(0))
-      // edges with an endpoint outside the vertex universe contribute
-      // nothing distributed (no label row to gather) — filter for parity
-      val inVs = vs.toSet
-      val es = canon.select("src", "dst", "weight").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .filter(e => inVs(e._1) && inVs(e._2))
-      val (local, its) = localLpa(vs, es, maxIter, sink)
-      return Result(local.toSeq.toDF("v", "label"), its)
-    }
     // ~32 B per (v, label) row against the heap-derived budget
     val bcastLabels = graft.util.Bcast.fits(nVerts, bytesPerRow = 32)
     // static side partitioned by the per-round join key (see CC/PageRank)

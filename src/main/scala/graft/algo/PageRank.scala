@@ -59,20 +59,47 @@ object PageRank {
 
     if (localSolveVerts > 0) {
       val canonC = canon.ckpt
-      val verts0 = vertices.map(_.select(col("v")).distinct())
-        .getOrElse(EdgeOps.vertices(canonC)).ckpt
-      if (verts0.count() <= localSolveVerts &&
-          canonC.count() <= 10_000_000L) {
-        val spark = edges.sparkSession
-        import spark.implicits._
-        val vs = verts0.collect().map(_.getLong(0))
-        val inVs = vs.toSet
-        val es = canonC.select("src", "dst", "weight").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-          .filter(e => inVs(e._1) && inVs(e._2))
-        val (ranks, its) = localPageRank(vs, es, damping, numIter, tol, sink)
-        return Result(
-          vs.indices.map(i => (vs(i), ranks(i))).toDF("v", "rank"), its)
+      val nEdges = canonC.count()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      if (nEdges <= 10_000_000L) vertices match {
+        case None =>
+          // default universe = the canon's own endpoints: derive it from
+          // the (bounded) collect instead of a distinct+ckpt+count+collect
+          // chain. A LARGE edge table still pre-checks the vertex bound
+          // distributively before committing the boxed collect.
+          val preOk = nEdges <= 1_000_000L ||
+            EdgeOps.vertices(canonC).count() <= localSolveVerts
+          if (preOk) {
+            val es = canonC.select("src", "dst", "weight").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            val vSet = new java.util.TreeSet[java.lang.Long]()
+            es.foreach { e => vSet.add(e._1); vSet.add(e._2) }
+            if (vSet.size() <= localSolveVerts) {
+              val vs = new Array[Long](vSet.size())
+              var i = 0
+              val it = vSet.iterator()
+              while (it.hasNext) { vs(i) = it.next(); i += 1 }
+              val (ranks, its) =
+                localPageRank(vs, es, damping, numIter, tol, sink)
+              return Result(
+                vs.indices.map(i => (vs(i), ranks(i))).toDF("v", "rank"),
+                its)
+            }
+          }
+        case Some(vdf) =>
+          val verts0 = vdf.select(col("v")).distinct().ckpt
+          if (verts0.count() <= localSolveVerts) {
+            val vs = verts0.collect().map(_.getLong(0))
+            val inVs = vs.toSet
+            val es = canonC.select("src", "dst", "weight").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+              .filter(e => inVs(e._1) && inVs(e._2))
+            val (ranks, its) =
+              localPageRank(vs, es, damping, numIter, tol, sink)
+            return Result(
+              vs.indices.map(i => (vs(i), ranks(i))).toDF("v", "rank"), its)
+          }
       }
       // bound failed: reuse the materialized canon below
       return runDistributed(canonC, vertices, damping, numIter, tol, sink)

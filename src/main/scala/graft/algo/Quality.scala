@@ -37,17 +37,7 @@ object Quality {
   def modularity(canonical: DataFrame, assign: DataFrame,
       gamma: Double = 1.0, localSolveEdges: Long = 0): Double = {
     localParts(canonical, assign, localSolveEdges) match {
-      case Some(p) =>
-        if (p.m == 0.0) return 0.0
-        // cdeg[c] = sum of member degrees; sumSq = sum cdeg^2
-        val cdeg = scala.collection.mutable.HashMap.empty[Long, Double]
-        p.degOf.foreach { case (v, d) =>
-          val c = p.commOf(v)
-          cdeg(c) = cdeg.getOrElse(c, 0.0) + d
-        }
-        var sumSq = 0.0
-        cdeg.valuesIterator.foreach(d => sumSq += d * d)
-        return p.wIn / p.m - gamma * sumSq / (4.0 * p.m * p.m)
+      case Some((es, commOf)) => return modularityFromArrays(es, commOf, gamma)
       case None =>
     }
     val m = EdgeOps.totalWeight(canonical)
@@ -88,15 +78,7 @@ object Quality {
   def cpm(canonical: DataFrame, assign: DataFrame,
       gamma: Double = 1.0, localSolveEdges: Long = 0): Double = {
     localParts(canonical, assign, localSolveEdges) match {
-      case Some(p) =>
-        val csize = scala.collection.mutable.HashMap.empty[Long, Long]
-        p.commOf.valuesIterator.foreach(c =>
-          csize(c) = csize.getOrElse(c, 0L) + 1L)
-        var pairs = 0.0
-        // n*(n-1)/2 over longs: n(n-1) is even, so the integer division
-        // is the exact binomial (matches the SQL BIGINT arithmetic)
-        csize.valuesIterator.foreach(s => pairs += (s * (s - 1) / 2).toDouble)
-        return p.wIn - gamma * pairs
+      case Some((es, commOf)) => return cpmFromArrays(es, commOf, gamma)
       case None =>
     }
     val a = assign.select(col("v"), col("community"))
@@ -112,32 +94,19 @@ object Quality {
     wIn - gamma * pairs
   }
 
-  private final case class LocalParts(m: Double, wIn: Double,
-      degOf: scala.collection.mutable.HashMap[Long, Double],
-      commOf: scala.collection.mutable.HashMap[Long, Long])
-
-  /** Collect-and-sum core for the local paths: when the gate admits the
-    * canonical table, returns m, wIn, degOf(v) = weighted degree over
-    * the symmetrized view (self-loop counts 2w) restricted to assigned
-    * vertices, and commOf = the assignment. Mirrors the distributed
-    * inner-join semantics: edges with an unassigned endpoint don't count
-    * in wIn; unassigned vertices carry no degree row. */
-  private def localParts(canonical: DataFrame, assign: DataFrame,
-      localSolveEdges: Long): Option[LocalParts] = {
-    if (localSolveEdges <= 0) return None
-    // callers opting in pass an already-materialized (ckpt'd) canonical
-    // table, so the count gate and the collect below are both cheap reads
-    val canonC = canonical
-    if (canonC.count() > localSolveEdges) return None
-    val commOf = scala.collection.mutable.HashMap.empty[Long, Long]
-    assign.select(col("v"), col("community")).collect()
-      .foreach(r => commOf.put(r.getLong(0), r.getLong(1)))
-    val es = canonC.select(col("src"), col("dst"), col("weight")).collect()
+  /** Driver-side modularity over collected canonical edges + an
+    * assignment map — the same sums as the distributed path, exact for
+    * integer-valued weights. Mirrors the inner-join semantics: edges
+    * with an unassigned endpoint don't count in wIn; unassigned
+    * vertices carry no degree. Callers that already hold the collected
+    * graph (driver queries, Leiden's level-0 local solve) score for
+    * free through this. */
+  private[graft] def modularityFromArrays(es: Array[(Long, Long, Double)],
+      commOf: scala.collection.Map[Long, Long], gamma: Double): Double = {
     var m = 0.0
     var wIn = 0.0
     val degOf = scala.collection.mutable.HashMap.empty[Long, Double]
-    es.foreach { r =>
-      val s = r.getLong(0); val d = r.getLong(1); val w = r.getDouble(2)
+    es.foreach { case (s, d, w) =>
       m += w
       val cs = commOf.get(s); val cd = commOf.get(d)
       if (cs.isDefined && cd.isDefined && cs.get == cd.get) wIn += w
@@ -145,7 +114,49 @@ object Quality {
       if (cs.isDefined) degOf(s) = degOf.getOrElse(s, 0.0) + w
       if (cd.isDefined) degOf(d) = degOf.getOrElse(d, 0.0) + w
     }
-    Some(LocalParts(m, wIn, degOf, commOf))
+    if (m == 0.0) return 0.0
+    val cdeg = scala.collection.mutable.HashMap.empty[Long, Double]
+    degOf.foreach { case (v, dv) =>
+      val c = commOf(v)
+      cdeg(c) = cdeg.getOrElse(c, 0.0) + dv
+    }
+    var sumSq = 0.0
+    cdeg.valuesIterator.foreach(d => sumSq += d * d)
+    wIn / m - gamma * sumSq / (4.0 * m * m)
+  }
+
+  /** Driver-side CPM — see [[modularityFromArrays]]. */
+  private[graft] def cpmFromArrays(es: Array[(Long, Long, Double)],
+      commOf: scala.collection.Map[Long, Long], gamma: Double): Double = {
+    var wIn = 0.0
+    es.foreach { case (s, d, w) =>
+      val cs = commOf.get(s); val cd = commOf.get(d)
+      if (cs.isDefined && cd.isDefined && cs.get == cd.get) wIn += w
+    }
+    val csize = scala.collection.mutable.HashMap.empty[Long, Long]
+    commOf.valuesIterator.foreach(c => csize(c) = csize.getOrElse(c, 0L) + 1L)
+    var pairs = 0.0
+    // n*(n-1)/2 over longs: n(n-1) is even, so the integer division is
+    // the exact binomial (matches the SQL BIGINT arithmetic)
+    csize.valuesIterator.foreach(s => pairs += (s * (s - 1) / 2).toDouble)
+    wIn - gamma * pairs
+  }
+
+  /** Collect gate for the local paths: when the (already-materialized)
+    * canonical table fits, collects it plus the assignment. */
+  private def localParts(canonical: DataFrame, assign: DataFrame,
+      localSolveEdges: Long): Option[(Array[(Long, Long, Double)],
+      scala.collection.mutable.HashMap[Long, Long])] = {
+    if (localSolveEdges <= 0) return None
+    // callers opting in pass an already-materialized (ckpt'd) canonical
+    // table, so the count gate and the collect below are both cheap reads
+    if (canonical.count() > localSolveEdges) return None
+    val commOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    assign.select(col("v"), col("community")).collect()
+      .foreach(r => commOf.put(r.getLong(0), r.getLong(1)))
+    val es = canonical.select(col("src"), col("dst"), col("weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Some((es, commOf))
   }
 
   private def intraWeight(canonical: DataFrame, assign: DataFrame): Double = {

@@ -31,7 +31,9 @@ object TriangleCount {
     *   count, one collect instead of the multi-stage closing pipeline
     *   (same adaptive pattern as CC/LPA/PageRank). Off by default. */
   def total(edges: DataFrame, localSolveVerts: Long = 0): Long = {
-    localCounts(edges, localSolveVerts) match {
+    // needUniverse=false: the total doesn't credit per-vertex rows, so
+    // the simple graph's own endpoints suffice — no distinct-vertex job
+    localCounts(edges, localSolveVerts, needUniverse = false) match {
       case Some((total, _, _)) => return total
       case None =>
     }
@@ -74,8 +76,9 @@ object TriangleCount {
     * per-vertex credits are exactly equal to the distributed path's.
     * Returns (total, vertex universe in EdgeOps.vertices order,
     * per-vertex counts) when the gate admits the graph, else None. */
-  private def localCounts(edges: DataFrame,
-      localSolveVerts: Long): Option[(Long, Array[Long], Array[Long])] = {
+  private def localCounts(edges: DataFrame, localSolveVerts: Long,
+      needUniverse: Boolean = true)
+      : Option[(Long, Array[Long], Array[Long])] = {
     if (localSolveVerts <= 0) return None
     import graft.util.Ckpt._
     val simple = edges
@@ -84,12 +87,25 @@ object TriangleCount {
       .where(col("src") =!= col("dst"))
       .distinct()
       .ckpt
-    // the full universe (incl. self-loop-only vertices) for perVertex
-    val verts = graft.graph.EdgeOps.vertices(edges).ckpt
-    val nV = verts.count()
-    if (nV > localSolveVerts || simple.count() > 10_000_000L) return None
-    val vs = verts.collect().map(_.getLong(0))
+    if (simple.count() > math.min(10_000_000L, localSolveVerts * 64))
+      return None
     val es = simple.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vs =
+      if (needUniverse) {
+        // the full universe (incl. self-loop-only vertices) for perVertex
+        val verts = graft.graph.EdgeOps.vertices(edges).ckpt
+        if (verts.count() > localSolveVerts) return None
+        verts.collect().map(_.getLong(0))
+      } else {
+        val set = new java.util.TreeSet[java.lang.Long]()
+        es.foreach { case (u, w) => set.add(u); set.add(w) }
+        if (set.size() > localSolveVerts) return None
+        val a = new Array[Long](set.size())
+        var i = 0
+        val it = set.iterator()
+        while (it.hasNext) { a(i) = it.next(); i += 1 }
+        a
+      }
     val n = vs.length
     val posOf = new java.util.HashMap[Long, Int](n * 2)
     vs.indices.foreach(i => posOf.put(vs(i), i))

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread an under-parallelized input across the session's parallelism
+    * before per-row CPU-heavy work (signature hashing): a small parquet
+    * source arrives as ONE row-group partition and would otherwise run
+    * the whole interpreted higher-order-function pipeline in a single
+    * task. A source already at (or above) session parallelism — any
+    * at-scale table — passes through untouched, so no shuffle is added
+    * on the 100 TB path. Round-robin repartition is deterministic
+    * (sort-before-repartition) and row values are unchanged. */
+  private def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   /** Exact duplicate groups by full-content hash.
     * Output: (text_hash, n, keep_id) — keep the minimum id. */
   def exact(docs: DataFrame, textCol: String = "text",
@@ -61,7 +74,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64,
       shingleWidth: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"),
+    spread(docs).select(col(idCol).as("id"),
       shingleSet(col(textCol), shingleWidth).as("sh"))
       .select(col("id"), array((0 until numHashes).map(i =>
         array_min(transform(col("sh"), s => xxhash64(s, lit(i))))): _*)
@@ -100,7 +113,7 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens. Output: (id, simhash). */
   def simhash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
+    val tok = spread(docs).select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("t"))
       .where(length(col("t")) > 0)
       .withColumn("h", xxhash64(col("t")))
