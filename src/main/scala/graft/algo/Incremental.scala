@@ -531,7 +531,14 @@ object Incremental {
         graft.graph.BucketedEdges.mergeDelta(delta.sparkSession, d.path,
           deltaC, d.nBuckets, cfg.eps, batchId)
         graft.graph.BucketedEdges.read(delta.sparkSession, d.path).ckpt
-      case None => EdgeOps.mergeDelta(state.canon, deltaC, cfg.eps).ckpt
+      case None =>
+        // NOTE (r6, measured): deferring this ckpt to the every-4th-batch
+        // cadence (like the degree overlay) made warm batches 1.5-2.5x
+        // SLOWER — movement/refinement run many jobs per batch and each
+        // replayed the stacked broadcast anti/semi-join overlay, paying a
+        // broadcast build per layer per job. The per-batch O(E)
+        // materialization is the cheaper side of that trade here.
+        EdgeOps.mergeDelta(state.canon, deltaC, cfg.eps).ckpt
     }
     val m2 = state.m2 + 2.0 * dW
 

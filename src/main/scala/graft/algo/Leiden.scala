@@ -440,30 +440,32 @@ object Leiden {
     val avgDeg = adj.count().toDouble / math.max(nVerts, 1L)
 
     // stale snapshot of community degrees and sizes (throughput.rs:62-166),
-    // computed from the full assignment ONCE and then maintained
-    // incrementally from the applied moves (cdeg[old] -= d_v,
-    // cdeg[new] += d_v — the reference's sequential bookkeeping at
-    // hit_leiden.rs:267-268): a moves-sized job per sweep instead of a
-    // full-table aggregation
-    var commDeg = {
-      val base = a.join(deg, "v")
-      if (unitSize)
-        base.groupBy(col("community"))
-          .agg(sum("deg").as("cdeg"), count(lit(1)).as("csize"))
-      else
-        base.join(sz, "v").groupBy(col("community"))
-          .agg(sum("deg").as("cdeg"), sum("size").as("csize"))
-    }.ckpt
-    // entry-time community count: the driver-local sweep phase collects
-    // the FULL per-community stats table at its entry, so the handoff
-    // below must be gated on that O(C) collect fitting the broadcast
-    // budget too — a small warm frontier over a huge-community-count
-    // graph (the petabyte regime) must stay on the distributed sweeps
-    // instead of OOMing the driver (ADVICE r5 medium). Cheap: one count
-    // of the just-materialized checkpoint.
-    val nCommEntry = commDeg.count()
-    val commStatsFit =
-      graft.util.Bcast.fits(nCommEntry, bytesPerRow = 24)
+    // computed from the CURRENT assignment once a distributed sweep needs
+    // it and then maintained incrementally from the applied moves
+    // (cdeg[old] -= d_v, cdeg[new] += d_v — the reference's sequential
+    // bookkeeping at hit_leiden.rs:267-268): a moves-sized job per sweep
+    // instead of a full-table aggregation. LAZY (r6): a warm batch whose
+    // whole phase runs driver-local sweeps never builds this O(V)
+    // join+agg+ckpt at all — the local phase fetches stats for just the
+    // frontier-reachable communities (see localMovePhase), which also
+    // removes the O(C) entry collect the r5 ADVICE flagged. Rebuilding
+    // from the current `a` after a local-phase bail is exact: the
+    // maintained value equals the membership sum for the integer-valued
+    // weights every ingest path produces.
+    var commDeg: DataFrame = null
+    def commDegDf(): DataFrame = {
+      if (commDeg == null)
+        commDeg = {
+          val base = a.join(deg, "v")
+          if (unitSize)
+            base.groupBy(col("community"))
+              .agg(sum("deg").as("cdeg"), count(lit(1)).as("csize"))
+          else
+            base.join(sz, "v").groupBy(col("community"))
+              .agg(sum("deg").as("cdeg"), sum("size").as("csize"))
+        }.ckpt
+      commDeg
+    }
 
     while (frontierN > 0 && sweep < cfg.maxSweeps) {
       val t0 = System.nanoTime()
@@ -471,7 +473,7 @@ object Leiden {
       // union below): consumers read the aggregated view — ONE exchange
       // regardless of overlay depth, where a join-chain form paid an
       // exchange per stacked sweep
-      val commDegA = commDeg.groupBy("community")
+      lazy val commDegA = commDegDf().groupBy("community")
         .agg(sum("cdeg").as("cdeg"), sum("csize").as("csize"))
 
       // gather: active vertices' neighbor weights by neighbor community;
@@ -509,10 +511,11 @@ object Leiden {
           .agg(coalesce(sum("deg"), lit(0)).cast("double")).head.getDouble(0)
       val smallGather = estSmall && graft.util.Bcast.fits(
         math.max(frontierDegSum, 0.0).toLong, bytesPerRow = 32)
-      if (smallGather && cfg.localMoveSweeps && commStatsFit) {
+      if (smallGather && cfg.localMoveSweeps) {
         // hand the rest of the phase to the driver-local sweep loop
-        // (exact BSP parity; one delta-sized gather action per sweep)
-        val lp = localMovePhase(spark, adj, a, aPrev, active, commDeg,
+        // (exact BSP parity; one delta-sized gather action per sweep).
+        // Community stats are fetched per-need inside — no O(C) collect.
+        val lp = localMovePhase(spark, adj, a, aPrev, active,
           deg, sz, unitSize, m2, nVerts, avgDeg, cfg, sink, level, sweep)
         a = lp.a
         aPrev = lp.aPrev
@@ -521,9 +524,9 @@ object Leiden {
           changed = changed.unionAll(lp.changed.toSeq.toDF("v"))
         if (lp.affected.nonEmpty)
           affected = affected.unionAll(lp.affected.toSeq.toDF("v"))
-        if (lp.bail && lp.commDegDelta.nonEmpty)
-          commDeg = commDeg.unionAll(
-            lp.commDegDelta.toSeq.toDF("community", "cdeg", "csize"))
+        // resumed distributed sweeps rebuild community stats from the
+        // post-local-phase assignment (exact for integer weights)
+        if (lp.bail) commDeg = null
         totalMoves += lp.movesApplied
         frontierN = lp.frontierN
         frontierDegSum = lp.frontierDegSum
@@ -745,7 +748,7 @@ object Leiden {
               col("szv").as("s")))).as("x"))
             .select(col("x.community"), col("x.d").as("cdeg"),
               col("x.s").as("csize"))
-          val cdUpd = commDeg.select("community", "cdeg", "csize")
+          val cdUpd = commDegDf().select("community", "cdeg", "csize")
             .unionAll(cdegDelta)
           commDeg =
             if (sweep % 4 == 3)
@@ -906,7 +909,6 @@ object Leiden {
   private final case class LocalPhaseOut(a: DataFrame,
       aPrev: Option[DataFrame], active: DataFrame,
       changed: Array[Long], affected: Array[Long],
-      commDegDelta: Array[(Long, Double, Double)],
       frontierN: Long, frontierDegSum: Double, sweep: Int,
       movesApplied: Long, bail: Boolean)
 
@@ -928,20 +930,51 @@ object Leiden {
     */
   private def localMovePhase(spark: SparkSession, adj: DataFrame,
       a0: DataFrame, aPrev0: Option[DataFrame], active0: DataFrame,
-      commDeg: DataFrame, deg: DataFrame, sz: DataFrame, unitSize: Boolean,
+      deg: DataFrame, sz: DataFrame, unitSize: Boolean,
       m2: Double, nVerts: Long, avgDeg: Double, cfg: Config,
       sink: MetricsSink, level: Int, sweep0: Int): LocalPhaseOut = {
     import spark.implicits._
 
-    // --- entry state: community stats (O(C) collect) + frontier attrs
+    // --- community stats, fetched PER NEED instead of an O(C) entry
+    // collect (r5 ADVICE medium): the gain loop only ever reads stats of
+    // communities holding a frontier vertex or one of its gathered
+    // neighbors, so each sweep tops up the missing ids with one
+    // frontier-neighborhood-bounded job (usually only sweep 1 fetches).
+    // Exactness: every community a local move touches is a gain
+    // candidate at move time, hence fetched BEFORE it is touched — so a
+    // late fetch always reads an untouched community, whose phase-entry
+    // membership sum over `a0` equals its current value. The maintained
+    // (entry + per-move delta) value equals the membership sum exactly
+    // for integer-valued weights (all ingest paths); the distributed
+    // loop's own overlay maintenance makes the identical assumption.
     val cdeg = mutable.LongMap.empty[Double]
     val csize = mutable.LongMap.empty[Double]
-    commDeg.groupBy("community")
-      .agg(sum("cdeg").as("cdeg"), sum("csize").as("csize"))
-      .collect().foreach { r =>
+    val statsKnown = mutable.LongMap.empty[Unit]
+    def ensureStats(need: Iterator[Long]): Unit = {
+      val missing = mutable.LongMap.empty[Unit]
+      need.foreach(c => if (!statsKnown.contains(c)) missing(c) = ())
+      if (missing.isEmpty) return
+      val ids = missing.keysIterator.toArray
+      if (sys.env.get("GRAFT_DEBUG_TIMING").contains("1"))
+        System.err.println(s"[stats-fetch] n=${ids.length}")
+      val idsDf = broadcast(ids.toSeq.toDF("community"))
+      val base = a0.join(idsDf, Seq("community"), "left_semi")
+        .join(deg, Seq("v"))
+      val grouped =
+        if (unitSize)
+          base.groupBy(col("community"))
+            .agg(sum("deg").as("cdeg"), count(lit(1)).as("csize"))
+        else
+          base.join(sz, Seq("v")).groupBy(col("community"))
+            .agg(sum("deg").as("cdeg"), sum("size").as("csize"))
+      grouped.collect().foreach { r =>
         cdeg(r.getLong(0)) = r.getDouble(1)
         csize(r.getLong(0)) = r.getAs[Number](2).doubleValue
       }
+      // memberless ids (can't occur for live comm values, but harmless):
+      // default 0.0 via getOrElse — mark known either way
+      ids.foreach(statsKnown(_) = ())
+    }
 
     val comm = mutable.LongMap.empty[Long] // current community (maintained)
     val sc = mutable.LongMap.empty[Long] // subcomm (static this phase)
@@ -1026,7 +1059,6 @@ object Leiden {
     val changedSet = mutable.LongMap.empty[Unit]
     val affectedSet = mutable.LongMap.empty[Unit]
     val allMoves = mutable.LongMap.empty[Long]
-    val deltaRows = mutable.ArrayBuffer.empty[(Long, Double, Double)]
     var frontierDegSum = {
       var s = 0.0; frontier.foreach(s += degM(_)); s
     }
@@ -1060,6 +1092,16 @@ object Leiden {
             graft.util.Bcast.fits(pSum.toLong, bytesPerRow = 64))
           gatherNew(cand)
       }
+      // top up community stats for this sweep's gain candidates (own +
+      // neighbor communities); one bounded job when anything is missing.
+      // The first sweep bulk-fetches the communities of EVERY vertex the
+      // entry+prefetch gathers loaded (a superset of this sweep's needs),
+      // so later sweeps — whose frontiers live inside the prefetched
+      // neighborhood — almost never fetch again.
+      if (sweep == sweep0)
+        ensureStats(comm.valuesIterator)
+      ensureStats(frontier.iterator.flatMap(v =>
+        Iterator.single(comm(v)) ++ adjL(v).iterator.map(e => comm(e._1))))
 
       // barrier semantics: compute every wanted move against the
       // sweep-start snapshot, then apply
@@ -1139,7 +1181,6 @@ object Leiden {
           cdeg(nc) = cdeg.getOrElse(nc, 0.0) + dv
           csize(cur) = csize.getOrElse(cur, 0.0) - sv
           csize(nc) = csize.getOrElse(nc, 0.0) + sv
-          deltaRows += ((cur, -dv, -sv)); deltaRows += ((nc, dv, sv))
           changedSet(v) = (); allMoves(v) = nc
           movedNow(v) = cur
           // K: mover and neighbor sharing a (static) subcommunity; a
@@ -1218,7 +1259,6 @@ object Leiden {
       else frontier.toSeq.toDF("v")
     LocalPhaseOut(aOut, aPrevOut, activeOut,
       changedSet.keysIterator.toArray, affectedSet.keysIterator.toArray,
-      deltaRows.toArray,
       if (bailFull) nVerts else frontierN,
       if (bailFull) m2 else frontierDegSum,
       sweep, movesApplied, bail)
