@@ -1077,20 +1077,35 @@ object Leiden {
       gatherNew(frontier.filterNot(adjL.contains))
       if (!prefetched) {
         prefetched = true
-        // one-shot 1-hop prefetch: later sweeps' frontiers are (mostly)
-        // neighbors of this one, and after the first gather every
-        // neighbor's EXACT degree is known driver-side — load their
-        // adjacency in ONE action, byte-budget-gated, so subsequent
-        // sweeps usually find adjL populated and pay zero Spark jobs.
-        // A frontier that escapes the prefetched set still gathers
-        // lazily above — this is purely an optimization.
-        val cand = degM.keysIterator.filterNot(adjL.contains).toArray
-        var pSum = 0.0
-        cand.foreach(pSum += degM(_))
-        // ~64 B per gathered adjacency row (ids + weight + attrs)
-        if (cand.nonEmpty &&
-            graft.util.Bcast.fits(pSum.toLong, bytesPerRow = 64))
-          gatherNew(cand)
+        // multi-hop prefetch (r6; was one-shot 1-hop): each sweep's
+        // frontier is neighbors of the previous one, and every gather
+        // costs one fixed-latency Spark action no matter how few rows it
+        // returns. After each gather every loaded vertex's EXACT degree
+        // is known driver-side, so keep expanding hop by hop while the
+        // spend cap holds (up to 4 hops): later sweeps then find adjL
+        // populated and pay zero Spark jobs. A frontier that still
+        // escapes gathers lazily above — purely an optimization,
+        // adjacency loads carry no state. Spend cap: the byte budget
+        // AND a 32x multiple of the entry frontier's degree sum — hop
+        // growth in a well-connected graph would otherwise balloon to
+        // the whole graph within the absolute budget (~64 B per
+        // gathered adjacency row: ids + weight + attrs).
+        val capRows = math.min(
+          graft.util.Bcast.budgetBytes / 64,
+          (32.0 * math.max(frontierDegSum, 1.0)).toLong)
+        var spentRows = 0L
+        var hop = 0
+        var continueHops = true
+        while (hop < 4 && continueHops) {
+          val cand = degM.keysIterator.filterNot(adjL.contains).toArray
+          var pSum = 0.0
+          cand.foreach(pSum += degM(_))
+          if (cand.nonEmpty && spentRows + pSum.toLong <= capRows) {
+            gatherNew(cand)
+            spentRows += pSum.toLong
+            hop += 1
+          } else continueHops = false
+        }
       }
       // top up community stats for this sweep's gain candidates (own +
       // neighbor communities); one bounded job when anything is missing.
