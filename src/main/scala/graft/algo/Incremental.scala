@@ -144,7 +144,19 @@ object Incremental {
       /** maintained composed (subcomm -> community) map for the DEFAULT
         * live path (see [[UpperComm]]); absent after resume — rebuilt by
         * the next batch's re-solve fallback. */
-      upper: Option[UpperComm] = None)
+      upper: Option[UpperComm] = None,
+      /** maintained DISTRIBUTED level-1 assignment
+        * (v = supernode, community, subcomm), present only while the
+        * supergraph exceeds `localSolveEdges` (r6: the delta-scoped
+        * per-level maintenance past the driver bound — reference
+        * hit_leiden.rs:104-136, 565-599). Each over-bound batch runs the
+        * frontier-limited movement/refinement over the supergraph with
+        * the supergraph DELTA as the activation, instead of a full
+        * re-solve whose cost is proportional to supergraph size. Absent
+        * after resume (or while the supergraph fits the driver bound) —
+        * the next over-bound batch initializes it with one full
+        * re-solve. */
+      upperAssign: DataFrame = null)
 
   /** Fill derivable fields absent after a resume or an old-format call:
     * degrees, the live supergraph (contract by subcomm — the invariant
@@ -204,11 +216,10 @@ object Incremental {
     // this one — but recomputing it would re-run float sums in a
     // different aggregation order and break the cache's exactness)
     val sc0 = contractBySubcomm(canon, ref.assign, cfg.eps).ckpt
-    val (assign, superCache, hier, upper) =
-      resolveSuper(sc0, ref.assign, cfg, sink)
-    hydrate(State(canon, assign, m2, deg = deg, superCanon = sc0,
-      durable = durable, superCache = superCache, hierCache = hier,
-      upper = upper), cfg.eps)
+    val so = resolveSuper(sc0, ref.assign, cfg, sink)
+    hydrate(State(canon, so.out, m2, deg = deg, superCanon = sc0,
+      durable = durable, superCache = so.cache, hierCache = so.hier,
+      upper = so.upper, upperAssign = so.upperAssign.orNull), cfg.eps)
   }
 
   /** Solve the (small) supergraph with the carried communities as the
@@ -219,11 +230,19 @@ object Incremental {
     * disconnected would never split on its own: enforce Leiden's
     * connectivity guarantee on the seed first by replacing each carried
     * community with its connected components on the supergraph. */
+  /** resolveSuper result: the composed base assignment plus whichever
+    * maintained upper-state form the taken path produces. */
+  private final case class SuperOut(out: DataFrame,
+      cache: Option[SuperEdges], hier: Option[LocalHier.HState],
+      upper: Option[UpperComm], upperAssign: Option[DataFrame],
+      freshUsed: Long)
+
   private def resolveSuper(superCanon: DataFrame, assign: DataFrame,
       cfg: Leiden.Config, sink: MetricsSink,
-      cache: Option[SuperEdges] = None)
-      : (DataFrame, Option[SuperEdges], Option[LocalHier.HState],
-        Option[UpperComm]) = {
+      cache: Option[SuperEdges] = None,
+      deltaH: Option[DataFrame] = None,
+      upperPrev: Option[DataFrame] = None,
+      freshIdBase: Long = 0L): SuperOut = {
     val spark = superCanon.sparkSession
     import spark.implicits._
     val debugT = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
@@ -246,6 +265,8 @@ object Incremental {
     var cacheOut: Option[SuperEdges] = None
     var hierOut: Option[LocalHier.HState] = None
     var upperOut: Option[UpperComm] = None
+    var upperAssignOut: Option[DataFrame] = None
+    var freshUsed = 0L
     val superRes =
       if (cfg.localSolveEdges > 0 && nSuper <= cfg.localSolveEdges) {
         // supergraph fits: connectivity repair (union-find) AND the full
@@ -304,6 +325,84 @@ object Incremental {
         val out = solved.toSeq.toDF("v", "community")
         mark("toDF")
         out
+      } else if (deltaH.isDefined && upperPrev.isDefined) {
+        // DELTA-SCOPED distributed upper maintenance (r6, VERDICT r5 ask
+        // #2; reference hit_leiden.rs:104-136, 565-599): past the driver
+        // bound, the maintained level-1 assignment is updated by the
+        // SAME frontier-limited machinery the base level uses —
+        // activation = the supergraph delta's endpoints, movement +
+        // refinement scoped to them — instead of a full re-solve whose
+        // cost is proportional to supergraph size. Per-batch job count
+        // is fixed; only a handful of jobs scan the O(E_1) supergraph
+        // once (materialize, degree, total weight), every other step is
+        // delta-bounded (and the movement sweeps go driver-local
+        // whenever the delta frontier fits the byte budget).
+        val superM = superCanon.ckpt
+        val m2s = 2.0 * EdgeOps.totalWeight(superM)
+        val adj1 = EdgeOps.symmetrize(superM)
+        val deg1 = EdgeOps.degrees(adj1).ckpt
+        val dV1 = EdgeOps.vertices(deltaH.get).ckpt
+        // supernodes this batch introduced enter as singletons
+        val newSup = dV1.join(upperPrev.get.select("v"), Seq("v"),
+          "left_anti").ckpt
+        val up0 =
+          if (newSup.isEmpty) upperPrev.get
+          else upperPrev.get.unionAll(newSup.select(col("v"),
+            col("v").as("community"), col("v").as("subcomm")))
+        // scoped connectivity repair (the delta-bounded form of the
+        // re-solve path's full pre-repair below): only communities the
+        // delta touches can have been disconnected by a deletion —
+        // replace each with its connected components on the supergraph
+        // (labels = min member, disjoint across communities so no
+        // collisions). Untouched communities pass through.
+        val affComms = broadcast(up0
+          .join(broadcast(dV1), Seq("v"), "left_semi")
+          .select("community").distinct()).ckpt
+        val members = up0.join(affComms, Seq("community"), "left_semi")
+          .ckpt
+        val memComm = members.select(col("v"), col("community"))
+        val intra = superM
+          .join(memComm.withColumnRenamed("v", "src")
+            .withColumnRenamed("community", "cu"), "src")
+          .join(memComm.withColumnRenamed("v", "dst")
+            .withColumnRenamed("community", "cv"), "dst")
+          .where(col("cu") === col("cv"))
+          .select("src", "dst")
+        val repaired = ConnectedComponents
+          .run(intra, vertices = Some(members.select("v")),
+            localSolveVerts = 100000)
+          .components
+        val repChanged = members
+          .join(repaired.withColumnRenamed("component", "newComm"),
+            Seq("v"))
+          .where(col("newComm") =!= col("community"))
+          .ckpt
+        val up1 =
+          if (repChanged.isEmpty) up0
+          else up0.join(broadcast(repChanged.select(col("v"),
+            col("newComm"))), Seq("v"), "left")
+            .select(col("v"),
+              coalesce(col("newComm"), col("community")).as("community"),
+              col("subcomm"))
+        mark("upper-repair")
+        // activation: delta endpoints + repair-moved supernodes
+        val activated = dV1.select("v")
+          .unionAll(repChanged.select("v")).distinct()
+        val sizes1 =
+          if (cfg.useCpm) Some(assign.groupBy(col("subcomm").as("v"))
+            .agg(count(lit(1)).as("size")).ckpt)
+          else None
+        val mv1 = Leiden.movement(adj1, deg1, m2s, up1.ckpt, activated,
+          cfg, sink, 1, nodeSize = sizes1)
+        val aff1 = activated.unionAll(mv1.affected).distinct().ckpt
+        val ref1 = Leiden.refinement(adj1, deg1, m2s, mv1.assign, aff1,
+          cfg, sink, 1, isInitial = false, nodeSize = sizes1,
+          freshIdBase = freshIdBase)
+        freshUsed = ref1.freshUsed
+        val upNext = ref1.assign.ckpt
+        upperAssignOut = Some(upNext)
+        mark("upper-delta")
+        upNext.select(col("v"), col("community"))
       } else {
         val carriedCk = carried0.ckpt
         val superNodes = carriedCk.select("v")
@@ -323,9 +422,17 @@ object Incremental {
             .agg(count(lit(1)).as("size")).ckpt)
           else None
         // the supergraph IS level >= 1 of the hierarchy: its own level 0
-        // may local-solve as soon as it fits
-        Leiden.run(superCanon, cfg.copy(localSolveMinLevel = 0), sink,
+        // may local-solve as soon as it fits. Initialize the maintained
+        // distributed level-1 assignment from this solve (subcomms
+        // restart as singletons; the next batch's scoped refinement
+        // re-derives them) so subsequent over-bound batches take the
+        // delta-scoped branch above.
+        val solved = Leiden.run(superCanon,
+          cfg.copy(localSolveMinLevel = 0), sink,
           initial = Some(carried), initialSizes = sizes).assignment
+        upperAssignOut = Some(solved.select(col("v"), col("community"),
+          col("v").as("subcomm")).ckpt)
+        solved
       }
 
     // LEFT join with a carried-community fallback: both solver paths
@@ -343,7 +450,7 @@ object Incremental {
         col("subcomm"))
       .ckpt
     mark("compose")
-    (out, cacheOut, hierOut, upperOut)
+    SuperOut(out, cacheOut, hierOut, upperOut, upperAssignOut, freshUsed)
   }
 
   /** Warm upper-level solve over the maintained mirror — the DEFAULT
@@ -698,7 +805,10 @@ object Incremental {
       dRows != null &&
       state.hierCache.exists(h => cfg.localSolveEdges > 0 &&
         h.level1Edges + dRows.length <= cfg.localSolveEdges)
-    val (assign2, cacheOut, hierOut, upperOut, consumedFresh) =
+    val (assign2, cacheOut, hierOut, upperOut, upperAssignOut,
+        consumedFresh): (DataFrame, Option[SuperEdges],
+        Option[LocalHier.HState], Option[UpperComm], Option[DataFrame],
+        Long) =
       if (useMirror) {
         val mc = mergedCache.get
         val composedOld = state.upper.get.composed
@@ -728,7 +838,7 @@ object Incremental {
             coalesce(col("newComm"), col("oldComm")).as("community"),
             col("subcomm"))
           .ckpt
-        (out, mergedCache, None, Some(upperNew), 0L)
+        (out, mergedCache, None, Some(upperNew), None, 0L)
       } else if (useHier) {
         // copy before mutating: State is value-semantic (a caller that
         // kept the pre-batch State must be able to re-apply the batch —
@@ -756,17 +866,18 @@ object Incremental {
             coalesce(col("newComm"), col("oldComm")).as("community"),
             col("subcomm"))
           .ckpt
-        (out, mergedCache, Some(h), None, consumed)
+        (out, mergedCache, Some(h), None, None, consumed)
       } else {
-        val (o, c, hNew, uNew) = resolveSuper(newSuper, assign1, cfg, sink,
-          mergedCache)
-        (o, c, hNew, uNew, 0L)
+        val so = resolveSuper(newSuper, assign1, cfg, sink, mergedCache,
+          deltaH = Some(deltaH),
+          upperPrev = Option(state.upperAssign), freshIdBase = maxId)
+        (so.out, so.cache, so.hier, so.upper, so.upperAssign, so.freshUsed)
       }
     mark("resolveSuper")
     State(newCanon, assign2, m2, deg = deg, superCanon = newSuper,
       maxId = maxId + consumedFresh, epoch = state.epoch + 1,
       durable = state.durable, superCache = cacheOut, hierCache = hierOut,
-      upper = upperOut)
+      upper = upperOut, upperAssign = upperAssignOut.orNull)
   }
 
   /** Deterministic cumulative delta batches replicating the reference's

@@ -73,6 +73,60 @@ class HierSpec extends SparkSpecBase {
     assertConnected(hier)
   }
 
+  test("delta-scoped distributed upper maintenance past the driver " +
+      "bound: tracks per-batch re-solve within the 0.001 band, stays " +
+      "connected, covers every vertex") {
+    // localSolveEdges = 4 keeps every supergraph over the driver bound,
+    // forcing the r6 delta-scoped distributed branch on every batch;
+    // the baseline run clears the maintained upper assignment before
+    // each update, which IS the old per-batch full re-solve behavior
+    val g = sbm(400, seed = 13)
+    val (init, batches) = Incremental.paperSplit(g, 0.7, 50, 3)
+    val cfg = Leiden.Config(localSolveEdges = 4)
+    var delta = Incremental.initial(init, cfg)
+    assert(delta.upperAssign != null,
+      "over-bound initial must seed the maintained upper assignment")
+    var resolve = Incremental.initial(init, cfg)
+    var k = 0
+    for (b <- batches) {
+      delta = Incremental.update(delta, b, cfg)
+      assert(delta.upperAssign != null,
+        s"batch $k lost the maintained upper assignment")
+      resolve = Incremental.update(resolve.copy(upperAssign = null), b, cfg)
+      k += 1
+      val qd = modularity(delta)
+      val qr = modularity(resolve)
+      assert(math.abs(qd - qr) <= 0.001 + 1e-9,
+        s"batch $k: delta-scoped $qd vs re-solve $qr — outside the " +
+          "0.001 equivalence band")
+      assert(delta.assign.count() == resolve.assign.count(),
+        s"batch $k coverage")
+    }
+    assertConnected(delta)
+  }
+
+  test("delta-scoped distributed upper: deletion that disconnects a " +
+      "community triggers the scoped repair") {
+    // same bridge-deletion shape as the hier-path test below, but with
+    // the supergraph forced over the driver bound so the r6 distributed
+    // delta-scoped branch (and its scoped connectivity repair) handles
+    // the split
+    val g = edges(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0),
+      (10L, 11L, 1.0), (11L, 12L, 1.0), (12L, 10L, 1.0),
+      (2L, 10L, 3.0))
+    val cfg = Leiden.Config(localSolveEdges = 0)
+    var st = Incremental.initial(g, cfg)
+    assert(st.upperAssign != null)
+    st = Incremental.update(st, edges((2L, 10L, -3.0)), cfg)
+    assertConnected(st)
+    val assign = toMapLL(st.assign.select(col("v"), col("community")))
+    assert(assign(0L) == assign(1L) && assign(1L) == assign(2L))
+    assert(assign(10L) == assign(11L) && assign(11L) == assign(12L))
+    assert(assign(0L) != assign(10L),
+      s"deleted bridge left both triangles in one community: $assign")
+  }
+
   test("hier path: deletion batch that disconnects a community triggers " +
       "the scoped top-level repair") {
     // two triangles joined by a single bridge: one community initially;
