@@ -782,9 +782,37 @@ object Incremental {
     val newSuper0 = EdgeOps.mergeDelta(state.superCanon, deltaH, cfg.eps)
     val newSuper = if (state.epoch % 4 == 3) newSuper0.ckpt else newSuper0
     // maintain the driver-side mirror with the SAME signed delta — a
-    // fallback re-solve then skips its multi-million-row re-collect
-    val mergedCache = state.superCache.map(mergeSuperArrays(_, dRows,
-      cfg.eps))
+    // fallback re-solve then skips its multi-million-row re-collect.
+    // First batch after resume (VERDICT r5 #7): the persisted upper
+    // composition survives the checkpoint but the mirror does not —
+    // rebuild it from the hydrated pre-delta supergraph (one gated
+    // collect; the same sort resolveSuper's local init applies) so the
+    // warm mirror solve engages instead of a full re-solve. Exactness
+    // note: the hydrated supergraph re-aggregates weights in a fresh
+    // order, exact for the integer-valued weights every ingest produces.
+    val rebuiltCache: Option[SuperEdges] =
+      if (state.superCache.isEmpty && state.upper.isDefined &&
+          dRows != null && cfg.localSolveEdges > 0 &&
+          state.superCanon.count() <= cfg.localSolveEdges) {
+        val rows = state.superCanon.select("src", "dst", "weight")
+          .collect()
+        val order = Array.range(0, rows.length)
+        val sorted = order.sortBy(i => (rows(i).getLong(0),
+          rows(i).getLong(1)))
+        val eSrc = new Array[Long](rows.length)
+        val eDst = new Array[Long](rows.length)
+        val eW = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(sorted(i))
+          eSrc(i) = r.getLong(0); eDst(i) = r.getLong(1)
+          eW(i) = r.getDouble(2)
+          i += 1
+        }
+        Some(SuperEdges(eSrc, eDst, eW))
+      } else None
+    val mergedCache = state.superCache.orElse(rebuiltCache)
+      .map(mergeSuperArrays(_, dRows, cfg.eps))
     mark("aggregation")
 
     // --- upper levels. DEFAULT live path (reference hit_leiden.rs:85-151

@@ -220,6 +220,21 @@ object Engine {
               a.nBuckets, out.batch.toLong)
         }
       }
+      // persist the maintained upper composition (O(supernodes) rows;
+      // VERDICT r5 #7): with it, the first post-resume batch re-enters
+      // the warm mirror solve instead of paying a full re-solve spike.
+      // Written BEFORE the manifest/LATEST rename below — the commit
+      // point — like every other durable piece of the batch. Absent
+      // (e.g. the supergraph exceeded the driver bound), resume falls
+      // back to the re-solve init exactly as before.
+      st.upper.foreach { u =>
+        val spark = st.assign.sparkSession
+        import spark.implicits._
+        u.composed.toSeq
+          .toDF("subcomm", "community")
+          .write.mode("overwrite")
+          .parquet(s"$root/${cfg.runId}/iter=${out.batch}/upper")
+      }
       val cp = new Checkpointer(root, cfg.runId)
       cp.write(out.batch, st.assign, out.metrics, frontier = 0,
         quality = out.quality, edgeRows = edgeRows,
@@ -242,7 +257,15 @@ object Engine {
         graft.graph.BucketedEdges.read(spark, d.path)
       case None => spark.read.parquet(s"$root/$runId/iter=$batch/edges")
     }
+    // maintained upper composition, if the committing batch persisted it
+    val upper = scala.util.Try {
+      val rows = spark.read.parquet(s"$root/$runId/iter=$batch/upper")
+        .collect()
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      rows.foreach(r => m(r.getLong(0)) = r.getLong(1))
+      Incremental.UpperComm(m)
+    }.toOption
     Incremental.State(canon, assign, 2.0 * EdgeOps.totalWeight(canon),
-      durable = durable)
+      durable = durable, upper = upper)
   }
 }

@@ -124,10 +124,19 @@ object BucketedAssign {
   /** The PRE-batch assignment: the live table with `batchId`'s undo file
     * folded back over it (changed keys restored to their prior rows,
     * inserted keys dropped). Used when a crash left the store one batch
-    * ahead of the committed engine checkpoint. */
+    * ahead of the committed engine checkpoint.
+    *
+    * A batch that changed ZERO rows records its applied marker but
+    * writes no undo dir ([[upsert]]'s empty-touched fast path) — its
+    * pre-batch view IS the live view. Surfaced in r6 when the persisted
+    * upper composition made genuinely no-change warm batches possible. */
   def preView(spark: SparkSession, path: String, batchId: Long): DataFrame = {
-    val undo = spark.read.parquet(undoDir(path, batchId))
     val live = read(spark, path)
+    val undoPath = undoDir(path, batchId)
+    val hasUndo = BucketStore.fsFor(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(undoPath))
+    if (!hasUndo) return live
+    val undo = spark.read.parquet(undoPath)
     live.join(broadcast(undo.select("v")), Seq("v"), "left_anti")
       .unionAll(undo.where(!col("inserted")).select(COLS.map(col): _*))
   }

@@ -32,6 +32,49 @@ class EngineSpec extends SparkSpecBase {
     assert(canonicalPartition(toMapLL(resumed)) == part)
   }
 
+  test("resume: persisted upper composition — checkpoint-driven update " +
+      "chain equals the in-memory continuation (r6, VERDICT r5 #7)") {
+    import graft.algo.Incremental
+    val root = Files.createTempDirectory("graft-upper").toString
+    val cfg = Engine.Config(checkpointRoot = Some(root), runId = "ru")
+    // integer weights only: both chains' float sums are then exact in
+    // any aggregation order, so exact partition equality is a fair ask
+    val g = edges(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0), (5L, 3L, 1.0), (2L, 3L, 1.0),
+      (7L, 8L, 1.0), (8L, 9L, 1.0), (9L, 7L, 1.0), (5L, 7L, 1.0))
+    val b1 = edges((6L, 3L, 1.0), (6L, 4L, 1.0))
+    val b2 = edges((10L, 7L, 1.0), (10L, 8L, 1.0))
+    // engine chain: every update RE-READS state from the checkpoint, so
+    // batch 2 exercises the resume path with the persisted composition
+    val _ = Engine.run(g, cfg)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/ru/iter=0/upper")),
+      "cold run has no maintained composition to persist")
+    val e1 = Engine.update(spark, b1, cfg)
+    assert(e1.batch == 1)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/ru/iter=1/upper")),
+      "warm update must persist the maintained upper composition")
+    val e2 = Engine.update(spark, b2, cfg)
+    // in-memory chain seeded EXACTLY like the engine's cold checkpoint
+    // (subcomm = community, state otherwise re-derived) but keeping the
+    // maintained upper/mirror alive in memory — the resume-driven chain
+    // must agree with it exactly
+    val r = Leiden.run(g, cfg.leiden)
+    var st = Incremental.State(
+      graft.graph.EdgeOps.compress(g),
+      r.assignment.select(col("v"), col("community"),
+        col("community").as("subcomm")),
+      m2 = 2.0 * graft.graph.EdgeOps.totalWeight(
+        graft.graph.EdgeOps.compress(g)))
+    st = Incremental.update(st, b1, cfg.leiden)
+    st = Incremental.update(st, b2, cfg.leiden)
+    val mem = canonicalPartition(
+      toMapLL(st.assign.select(col("v"), col("community"))))
+    val eng = canonicalPartition(toMapLL(e2.assignment))
+    assert(eng == mem,
+      s"resume-driven chain diverged from in-memory: $eng vs $mem")
+  }
+
   test("deterministic mode: exact replay identity + quality-equivalent " +
     "to throughput mode") {
     val g = edges(
