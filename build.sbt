@@ -13,9 +13,11 @@ Test / fork := true
 // Durable per-run test reports (VERDICT r5 ask #1: the one failing test
 // name of the round-5 flake was lost because sbt's JUnit XML was
 // overwritten by the next run): each `sbt test` invocation writes its
-// JUnit XML under a fresh timestamped dir in target/test-runs/.
+// JUnit XML under a fresh timestamped dir. Kept OUTSIDE target/ so an
+// `sbt clean` cannot eat the history (it did, once, this round —
+// that's the lesson priced in); the dir is gitignored.
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-u",
-  s"target/test-runs/junit-${new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+  s"test-reports/junit-${new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
     .format(new java.util.Date)}")
 run / fork := true
 // forked-run stdout passes through unprefixed (no "[info] ") so the
