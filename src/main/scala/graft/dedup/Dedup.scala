@@ -70,7 +70,9 @@ object Dedup {
     * referenced numHashes times by the second — CollapseProject keeps a
     * multiply-referenced non-trivial expression un-inlined, so the
     * tokenize+hash+dedup work runs once per document, not per hash
-    * (checked in the captured plan, plans/r06/q_minhash_lsh_after.txt). */
+    * (verified: the physical plan carries exactly ONE array_distinct in
+    * its own Project below the signature Project —
+    * plans/r06/minhash_signatures_after.txt). */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64,
       shingleWidth: Int = 3): DataFrame =
